@@ -1,0 +1,22 @@
+import os
+import sys
+
+# Tests run on CPU with a virtual 8-device mesh so multi-chip sharding
+# logic is exercised without TPU hardware (SURVEY.md §4).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOX_DIR = os.path.join(os.path.dirname(__file__), "..", "assets", "vox")
+REFERENCE_VOX_DIR = "/root/reference/vox"
+
+
+def vox_dir() -> str:
+    if os.path.isdir(VOX_DIR):
+        return VOX_DIR
+    return REFERENCE_VOX_DIR

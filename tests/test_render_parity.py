@@ -1,0 +1,156 @@
+"""Differential tests: NumPy oracle vs XLA trace kernel.
+
+BASELINE config 1: the oracle is the bit-level gold standard; device
+kernels must reproduce primary-hit geometry exactly and shading to
+float tolerance.
+"""
+
+import os
+from functools import partial
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from conftest import vox_dir
+from voxtracer.engine.camera import Camera
+from voxtracer.engine.params import RenderParams
+from voxtracer.io import vox as voxio
+from voxtracer.ops import noise as noise_op
+from voxtracer.ops import trace_xla
+from voxtracer.oracle import renderer as oracle
+from voxtracer.scene import GridScene, VoxelList, voxels_from_vox
+
+
+def _render_both(scene: GridScene, camera: Camera, w, h, params=None, frame=1):
+    params = params or RenderParams()
+    right, up, forward = camera.axis_scaled(w, h)
+    buf = noise_op.white_noise_buffer(seed=7, count=32)
+    planes = noise_op.noise_planes(buf, frame, h, w)
+
+    got_oracle = oracle.render_sample(
+        scene.values,
+        scene.origin.astype(np.int64),
+        np.asarray(camera.position, dtype=np.float64),
+        right,
+        up,
+        forward,
+        params,
+        planes,
+        w,
+        h,
+    )
+    jitted = jax.jit(
+        trace_xla.render_sample,
+        static_argnames=("dims", "height", "width"),
+    )
+    got_xla = jitted(
+        jnp.asarray(scene.values.reshape(-1)),
+        scene.values.shape,
+        jnp.asarray(scene.origin.astype(np.int32)),
+        jnp.asarray(camera.position, dtype=jnp.float32),
+        jnp.asarray(right, dtype=jnp.float32),
+        jnp.asarray(up, dtype=jnp.float32),
+        jnp.asarray(forward, dtype=jnp.float32),
+        params,
+        jnp.asarray(planes),
+        h,
+        w,
+    )
+    got_xla = {k: np.asarray(v) for k, v in got_xla.items()}
+    return got_oracle, got_xla
+
+
+def _single_voxel_scene():
+    vl = VoxelList(
+        pos=np.array([[0, 0, 0]], dtype=np.int16),
+        mrgb=np.array([[0, 200, 100, 50]], dtype=np.uint8),
+    )
+    return GridScene.from_voxels(vl)
+
+
+def test_single_voxel_primary_hit():
+    """A voxel at the origin occupies world [0, 0.5)^3; a camera at
+    (0.25, 0.25, -2) looking +z must hit its front face at depth 2."""
+    scene = _single_voxel_scene()
+    cam = Camera(position=np.array([0.25, 0.25, -2.0]))
+    w = h = 32
+    o, x = _render_both(scene, cam, w, h)
+    # center pixel ray is (0,0,1): pixel (16,16) maps through the basis
+    depth = o["depth"][16, 16]
+    assert abs(depth - 2.0) < 1e-6
+    np.testing.assert_allclose(o["normal"][16, 16], [0, 0, -1])
+    assert o["node"][16, 16] == np.int32(
+        np.uint32((1 << 31) | (200 << 16) | (100 << 8) | 50)
+    )
+    # XLA agrees bit-for-bit on the hit channels
+    assert x["node"][16, 16] == o["node"][16, 16]
+    np.testing.assert_allclose(x["depth"][16, 16], depth, rtol=1e-6)
+
+
+def test_oracle_vs_xla_small_scene():
+    scene = _single_voxel_scene()
+    cam = Camera(position=np.array([0.3, 0.2, -1.5]))
+    w = h = 32
+    o, x = _render_both(scene, cam, w, h)
+    # grazing rays may flip on 1-ulp float differences (XLA fuses FMAs);
+    # everything else agrees exactly
+    agree = o["node"] == x["node"]
+    assert agree.mean() > 0.995, f"node agreement {agree.mean()}"
+    hit = (o["depth"] >= 0) & agree
+    np.testing.assert_allclose(
+        x["depth"][hit], o["depth"][hit], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(o["normal"][agree], x["normal"][agree])
+    np.testing.assert_allclose(
+        x["color"][agree], o["color"][agree], rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(x["albedo"][agree], o["albedo"][agree], atol=1e-6)
+
+
+def test_oracle_vs_xla_8x8x8():
+    path = os.path.join(vox_dir(), "8x8x8.vox")
+    scene = GridScene.from_voxels(voxels_from_vox(voxio.load(path)))
+    cam = Camera(
+        position=np.array([2.0, 3.0, -4.0]),
+        direction=np.array([0.2, 0.1, 1.0]),
+    )
+    w = h = 32
+    o, x = _render_both(scene, cam, w, h)
+
+    # primary geometry: exact agreement on nearly all pixels (grazing
+    # float differences may flip isolated cells)
+    same_node = (o["node"] == x["node"]).mean()
+    assert same_node > 0.99, f"node agreement {same_node}"
+    hit = (o["depth"] >= 0) & (x["depth"] >= 0) & (o["node"] == x["node"])
+    np.testing.assert_allclose(
+        x["depth"][hit], o["depth"][hit], rtol=1e-4, atol=1e-4
+    )
+
+    # shading: virtually all pixels agree to float noise; the rare
+    # exception is a secondary bounce flipping on a 1-ulp grazing ray
+    agree = o["node"] == x["node"]
+    err = np.abs(x["color"] - o["color"]).max(axis=-1)
+    close = (err < 1e-3) & agree
+    assert close.mean() > 0.99, f"close-pixel fraction {close.mean()}"
+    assert np.median(err[agree]) < 1e-5
+
+
+def test_miss_shading_sky_and_sun():
+    scene = _single_voxel_scene()
+    cam = Camera(
+        position=np.array([0.0, 0.0, -2.0]),
+        direction=np.array([0.0, 0.0, -1.0]),  # facing away: all miss
+    )
+    w = h = 16
+    params = RenderParams()
+    o, x = _render_both(scene, cam, w, h, params=params)
+    assert (o["depth"] == -1).all()
+    assert (o["node"] == 0xFFFFFF).all()
+    # sky everywhere (+ possible sun disk), never darker than sky
+    assert (o["color"] >= np.array(params.sky_color) - 1e-6).all()
+    np.testing.assert_allclose(x["color"], o["color"], rtol=1e-4, atol=1e-4)
+    # albedo of miss pixels: node 0xffffff has zero emissive bit -> its
+    # low 24 bits are white
+    np.testing.assert_allclose(o["albedo"], 1.0)

@@ -1,0 +1,216 @@
+"""The jitted frame function and its host-side driver.
+
+The reference drives one command encoder per frame through three
+sequential compute dispatches (trace -> temporal -> denoise), a
+g-buffer ping-pong copy and a swapchain blit
+(``src/context.rs:2004-2075``).  The TPU equivalent is a single jitted
+pure function ``(state, inputs) -> (state, outputs)``:
+
+  * the g-buffer ping-pong becomes a donated carry (no copies at all —
+    XLA aliases the buffers),
+  * per-frame "uniform upload" becomes traced scalar arguments (no
+    recompilation when parameters move),
+  * the swapchain blit becomes an on-device sRGB/u8 encode; only the
+    final u8 image crosses back to the host.
+
+Static configuration (resolution, denoise radius, whether the camera
+moved) selects among cached jit specializations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import denoise as denoise_op
+from ..ops import noise as noise_op
+from ..ops import temporal as temporal_op
+from ..ops import tonemap
+from ..ops import trace_xla
+from ..scene.grid import GridScene
+from .camera import Camera
+from .params import DenoiseParams, RenderParams, TemporalParams
+
+
+def init_state(height: int, width: int) -> Dict[str, jnp.ndarray]:
+    """Fresh accumulation / history state (all-invalid history)."""
+    return {
+        "accum_color": jnp.zeros((height, width, 3), jnp.float32),
+        "accum_blend": jnp.ones((height, width), jnp.float32),
+        "old_depth": jnp.full((height, width), -1.0, jnp.float32),
+        "old_cam": jnp.zeros((4, 3), jnp.float32),
+        "history_valid": jnp.zeros((), bool),
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("dims", "height", "width", "radius", "reproject"),
+    donate_argnames=("state",),
+)
+def render_frame(
+    state: Dict[str, jnp.ndarray],
+    flat_grid: jnp.ndarray,
+    grid_origin: jnp.ndarray,
+    cam: jnp.ndarray,  # (4, 3): origin, right, up, forward (pixel-scaled)
+    render_params: RenderParams,
+    temporal_params: TemporalParams,
+    denoise_params: DenoiseParams,
+    noise_buffer: jnp.ndarray,  # (S, 128, 128)
+    frame_number: jnp.ndarray,  # int32 scalar
+    *,
+    dims: Tuple[int, int, int],
+    height: int,
+    width: int,
+    radius: int,
+    reproject: bool,
+):
+    planes = noise_op.noise_planes(
+        noise_buffer, frame_number, height, width, xp=jnp
+    )
+
+    gbuf = trace_xla.render_sample(
+        flat_grid,
+        dims,
+        grid_origin,
+        cam[0],
+        cam[1],
+        cam[2],
+        cam[3],
+        render_params,
+        planes,
+        height,
+        width,
+    )
+
+    cam_tuple = (cam[0], cam[1], cam[2], cam[3])
+    old = state["old_cam"]
+    old_cam_tuple = (old[0], old[1], old[2], old[3])
+    blended, next_blend = temporal_op.temporal_blend(
+        gbuf["color"],
+        gbuf["normal"],
+        gbuf["depth"],
+        state["accum_color"],
+        state["accum_blend"],
+        state["old_depth"],
+        cam_tuple,
+        old_cam_tuple,
+        temporal_params,
+        state["history_valid"],
+        reproject=reproject,
+    )
+
+    out = denoise_op.denoise(
+        blended,
+        gbuf["normal"],
+        gbuf["depth"],
+        gbuf["albedo"],
+        gbuf["node"],
+        cam_tuple,
+        denoise_params,
+        radius=radius,
+    )
+
+    image_u8 = tonemap.to_u8(out)
+
+    new_state = {
+        "accum_color": blended,
+        "accum_blend": next_blend,
+        "old_depth": gbuf["depth"],
+        "old_cam": cam,
+        "history_valid": jnp.ones((), bool),
+    }
+    outputs = {
+        "image": image_u8,
+        "linear": out,
+        "trace_color": gbuf["color"],
+        "depth": gbuf["depth"],
+        "normal": gbuf["normal"],
+        "albedo": gbuf["albedo"],
+        "node": gbuf["node"],
+    }
+    return new_state, outputs
+
+
+@dataclasses.dataclass
+class Renderer:
+    """Host-side frame driver: owns device scene + state, advances frames.
+
+    Capability analog of the reference's ``Context`` render half: frame
+    counters, camera-motion detection (selects the no-resample temporal
+    path, and resets ``still_sample`` like ``src/context.rs:1999``),
+    and scene swapping (``recreate_octree``, ``:799-810``).
+    """
+
+    scene: GridScene
+    height: int
+    width: int
+    render_params: RenderParams = RenderParams()
+    temporal_params: TemporalParams = TemporalParams()
+    denoise_params: DenoiseParams = DenoiseParams()
+    denoise_radius: int = 0
+    noise_buffer: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        if self.noise_buffer is None:
+            self.noise_buffer = noise_op.white_noise_buffer()
+        self._noise = jnp.asarray(self.noise_buffer)
+        self._upload_scene(self.scene)
+        self.state = init_state(self.height, self.width)
+        self.frame_number = 0
+        self.still_sample = 0
+        self._last_cam: Optional[np.ndarray] = None
+
+    def _upload_scene(self, scene: GridScene):
+        self.scene = scene
+        self._dims = scene.values.shape
+        self._flat_grid = jnp.asarray(scene.values.reshape(-1))
+        self._grid_origin = jnp.asarray(scene.origin.astype(np.int32))
+
+    def set_scene(self, scene: GridScene):
+        """Swap scenes and restart accumulation (src/context.rs:1406-1424)."""
+        self._upload_scene(scene)
+        self.reset_accumulation()
+
+    def reset_accumulation(self):
+        self.state = init_state(self.height, self.width)
+        self.still_sample = 0
+
+    def render(self, camera: Camera) -> Dict[str, np.ndarray]:
+        right, up, forward = camera.axis_scaled(self.width, self.height)
+        cam = np.stack(
+            [np.asarray(camera.position), right, up, forward]
+        ).astype(np.float32)
+
+        moved = self._last_cam is None or not np.array_equal(
+            cam, self._last_cam
+        )
+        self._last_cam = cam
+        if moved:
+            self.still_sample = 0
+
+        self.frame_number += 1
+        self.still_sample += 1
+
+        self.state, outputs = render_frame(
+            self.state,
+            self._flat_grid,
+            self._grid_origin,
+            jnp.asarray(cam),
+            self.render_params,
+            self.temporal_params,
+            self.denoise_params,
+            self._noise,
+            jnp.int32(self.frame_number),
+            dims=self._dims,
+            height=self.height,
+            width=self.width,
+            radius=self.denoise_radius,
+            reproject=moved,
+        )
+        return outputs

@@ -1,0 +1,167 @@
+"""Temporal reprojection / accumulation stage.
+
+Semantics of ``shaders/temporal.comp``: reproject each pixel's first-hit
+world position into the previous frame through the inverse of the old
+camera's pixel-basis matrix, validate the history sample by a
+world-distance test scaled by depth and view angle, then blend
+``mix(old, new, blending)`` where the per-pixel blending factor rides in
+the history alpha channel and follows
+``next = clamp((1 - sample_blending) * blending, 1 - maximum_blending, 1)``
+(``temporal.comp:109-124``).
+
+Two execution strategies, chosen statically by the pipeline:
+
+* ``reproject=False`` — camera at rest (BASELINE config 2's progressive
+  accumulation): the reprojection is the identity, so history lookups
+  are pure elementwise passthrough.  No gathers; everything fuses.
+* ``reproject=True`` — full resampling with 4-tap bilinear history
+  fetches (``jnp.take``).  Correct for arbitrary motion; the Pallas
+  windowed variant will later accelerate the common small-motion case.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from .trace_xla import _normalize
+
+
+def _pixel_rays(camera_right, camera_up, camera_forward, height, width):
+    px = jnp.arange(width, dtype=jnp.float32)[None, :, None]
+    py = jnp.arange(height, dtype=jnp.float32)[:, None, None]
+    return _normalize(
+        px * camera_right + (-py) * camera_up + camera_forward
+    )
+
+
+def _inv3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (adjugate) 3x3 inverse, like GLSL ``inverse()``.
+
+    ``jnp.linalg.inv`` lowers to a general LU factorization whose TPU
+    compilation is pathologically slow; a cofactor expansion is three
+    cross products and a dot.
+    """
+    a, b, c = m[:, 0], m[:, 1], m[:, 2]
+    r0 = jnp.cross(b, c)
+    r1 = jnp.cross(c, a)
+    r2 = jnp.cross(a, b)
+    det = jnp.dot(a, r0)
+    return jnp.stack([r0, r1, r2], axis=0) / det
+
+
+def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Sample (H, W, C) at float pixel-center coordinates with
+    clamp-to-edge, matching a GPU linear sampler at normalized coords."""
+    h, w = img.shape[:2]
+    xf = x - 0.5
+    yf = y - 0.5
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    tx = (xf - x0)[..., None]
+    ty = (yf - y0)[..., None]
+
+    def fetch(xi, yi):
+        xi = jnp.clip(xi.astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(yi.astype(jnp.int32), 0, h - 1)
+        flat = img.reshape(h * w, -1)
+        return jnp.take(flat, yi * w + xi, axis=0)
+
+    c00 = fetch(x0, y0)
+    c10 = fetch(x0 + 1, y0)
+    c01 = fetch(x0, y0 + 1)
+    c11 = fetch(x0 + 1, y0 + 1)
+    top = c00 * (1 - tx) + c10 * tx
+    bot = c01 * (1 - tx) + c11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+def temporal_blend(
+    sampled_color: jnp.ndarray,  # (H, W, 3) current trace output
+    normal: jnp.ndarray,  # (H, W, 3) current first-hit normals
+    depth: jnp.ndarray,  # (H, W) current first-hit depth
+    old_color: jnp.ndarray,  # (H, W, 3) history color
+    old_blend: jnp.ndarray,  # (H, W) history blending (alpha)
+    old_depth: jnp.ndarray,  # (H, W) history depth
+    cam: Tuple[jnp.ndarray, ...],  # origin, right, up, forward (scaled)
+    old_cam: Tuple[jnp.ndarray, ...],
+    params,  # TemporalParams
+    history_valid,  # scalar bool (False on the first frame)
+    reproject: bool,  # static
+):
+    """Returns (blended_color (H,W,3), next_blending (H,W))."""
+    height, width = depth.shape
+    origin, right, up, forward = cam
+    o_origin, o_right, o_up, o_forward = old_cam
+
+    ray = _pixel_rays(right, up, forward, height, width)
+    world = origin + depth[..., None] * ray
+
+    if reproject:
+        # world -> old screen: solve columns([right, up, fwd]) @ s = world - o
+        basis = jnp.stack([o_right, o_up, o_forward], axis=1)  # 3x3 columns
+        inv = _inv3(basis)
+        rel = world - o_origin
+        screen = jnp.einsum("ij,hwj->hwi", inv, rel)
+        sx = screen[..., 0] / screen[..., 2]
+        sy = screen[..., 1] / screen[..., 2]
+        tex_x = (sx + 0.5) / width
+        tex_y = (sy - 0.5) / -height
+        in_range = (
+            (tex_x >= 0) & (tex_x <= 1) & (tex_y >= 0) & (tex_y <= 1)
+        )
+        px_f = tex_x * width
+        py_f = tex_y * height
+        old_nd = _bilinear(old_depth[..., None], px_f, py_f)[..., 0]
+        # Old ray reconstruction quantizes to the pixel lattice
+        # (temporal.comp:99-103); int() truncates toward zero.
+        qx = jnp.trunc(sx + 0.5)
+        qy = jnp.trunc(sy - 0.5)
+        old_ray = _normalize(
+            qx[..., None] * o_right + qy[..., None] * o_up + o_forward
+        )
+        old_world = o_origin + old_nd[..., None] * old_ray
+    else:
+        in_range = jnp.ones_like(depth, bool)
+        old_nd = old_depth
+        qx = jnp.arange(width, dtype=jnp.float32)[None, :]
+        qy = -jnp.arange(height, dtype=jnp.float32)[:, None]
+        old_ray = _normalize(
+            (qx * jnp.ones((height, 1)))[..., None] * o_right
+            + (qy * jnp.ones((1, width)))[..., None] * o_up
+            + o_forward
+        )
+        old_world = o_origin + old_nd[..., None] * old_ray
+
+    camera_dir = _normalize(origin - world)
+    bias = jnp.maximum(0.0, jnp.sum(camera_dir * normal, axis=-1))
+    dist = jnp.linalg.norm(old_world - world, axis=-1)
+    same_position = dist < bias * params.blending_distance_cutoff * depth
+
+    if reproject:
+        hist = _bilinear(
+            jnp.concatenate([old_color, old_blend[..., None]], axis=-1),
+            px_f,
+            py_f,
+        )
+        hist_color, hist_blend = hist[..., :3], hist[..., 3]
+    else:
+        hist_color, hist_blend = old_color, old_blend
+
+    valid = in_range & same_position & (depth >= 0) & history_valid
+    use_color = jnp.where(valid[..., None], hist_color, 0.0)
+    blending = jnp.where(valid, hist_blend, 1.0)
+
+    blended = jnp.where(
+        (depth >= 0)[..., None],
+        use_color * (1.0 - blending[..., None])
+        + sampled_color * blending[..., None],
+        sampled_color,
+    )
+    next_blending = jnp.clip(
+        (1.0 - params.sample_blending) * blending,
+        1.0 - params.maximum_blending,
+        1.0,
+    )
+    return blended, next_blending
