@@ -1,0 +1,73 @@
+"""Headline benchmark: menger.vox progressive path tracing at 720p
+(BASELINE config 2) on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.json "published": {});
+vs_baseline is measured fps against the driver-defined north star of
+30 fps at 1280x720 with temporal accumulation on a single chip.
+
+Notes on timing under the axon tunnel: block_until_ready() does not
+actually block, so every timed section ends with a device->host
+transfer (np.asarray) which does.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+WIDTH, HEIGHT = 1280, 720
+WARMUP = 2
+FRAMES = 6
+NORTH_STAR_FPS = 30.0
+
+
+def main():
+    import jax
+
+    from voxtracer.engine.camera import Camera
+    from voxtracer.engine.pipeline import Renderer
+    from voxtracer.io import vox as voxio
+    from voxtracer.scene import GridScene, voxels_from_vox
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    vox_path = os.path.join(here, "assets", "vox", "menger.vox")
+    scene = GridScene.from_voxels(voxels_from_vox(voxio.load(vox_path)))
+
+    renderer = Renderer(scene=scene, height=HEIGHT, width=WIDTH)
+    cam = Camera(
+        position=np.array([90.0, 70.0, -40.0]),
+        direction=np.array([-0.45, -0.5, 1.0]),
+    )
+
+    for _ in range(WARMUP):
+        out = renderer.render(cam)
+    np.asarray(out["image"])
+
+    t0 = time.perf_counter()
+    for _ in range(FRAMES):
+        out = renderer.render(cam)
+    np.asarray(out["image"])
+    dt = (time.perf_counter() - t0) / FRAMES
+
+    fps = 1.0 / dt
+    # Ray budget: 1 primary + up to (bounces + sun NEE) per bounce;
+    # report primary Mrays/s alongside fps in the metric name.
+    print(
+        json.dumps(
+            {
+                "metric": "menger.vox 720p progressive path trace fps (1 spp/frame, temporal accum, single chip)",
+                "value": round(fps, 3),
+                "unit": "fps",
+                "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

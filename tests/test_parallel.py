@@ -1,0 +1,84 @@
+"""Multi-device sharding: row-tiled rendering must equal single-device
+output (SURVEY.md §4 "multi-node without a cluster")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from voxtracer.engine import pipeline
+from voxtracer.engine.camera import Camera
+from voxtracer.engine.params import (
+    DenoiseParams,
+    RenderParams,
+    TemporalParams,
+)
+from voxtracer.ops import noise as noise_op
+from voxtracer.parallel import make_mesh, sharded_render_frame
+from voxtracer.scene import GridScene, default_scene
+
+
+def _setup(height, width):
+    scene = GridScene.from_voxels(default_scene(radius=10, seed=2))
+    cam = Camera(
+        position=np.array([0.0, 2.0, -8.0]),
+        direction=np.array([0.0, -0.3, 1.0]),
+    )
+    right, up, forward = cam.axis_scaled(width, height)
+    cam_arr = jnp.asarray(
+        np.stack([cam.position, right, up, forward]).astype(np.float32)
+    )
+    args = (
+        jnp.asarray(scene.values.reshape(-1)),
+        jnp.asarray(scene.origin.astype(np.int32)),
+        cam_arr,
+        RenderParams(),
+        TemporalParams(),
+        DenoiseParams(),
+        jnp.asarray(noise_op.white_noise_buffer(seed=1, count=32)),
+        jnp.int32(1),
+    )
+    return scene, args
+
+
+@pytest.mark.parametrize("radius", [0, 2])
+def test_sharded_matches_single_device(radius):
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
+    height, width = 32, 32
+    scene, args = _setup(height, width)
+
+    single = pipeline.render_frame(
+        pipeline.init_state(height, width),
+        *args,
+        dims=scene.values.shape,
+        height=height,
+        width=width,
+        radius=radius,
+        reproject=True,
+    )
+
+    mesh = make_mesh()
+    fn, shard_state = sharded_render_frame(
+        mesh,
+        dims=scene.values.shape,
+        height=height,
+        width=width,
+        radius=radius,
+        reproject=True,
+    )
+    sharded = fn(shard_state(pipeline.init_state(height, width)), *args)
+
+    for key in ("image", "linear", "depth", "node"):
+        np.testing.assert_array_equal(
+            np.asarray(single[1][key]),
+            np.asarray(sharded[1][key]),
+            err_msg=f"outputs[{key}] differs across sharding",
+        )
+    for key in ("accum_color", "accum_blend", "old_depth"):
+        np.testing.assert_allclose(
+            np.asarray(single[0][key]),
+            np.asarray(sharded[0][key]),
+            atol=1e-6,
+            err_msg=f"state[{key}] differs across sharding",
+        )

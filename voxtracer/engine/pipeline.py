@@ -48,12 +48,7 @@ def init_state(height: int, width: int) -> Dict[str, jnp.ndarray]:
     }
 
 
-@partial(
-    jax.jit,
-    static_argnames=("dims", "height", "width", "radius", "reproject"),
-    donate_argnames=("state",),
-)
-def render_frame(
+def render_frame_impl(
     state: Dict[str, jnp.ndarray],
     flat_grid: jnp.ndarray,
     grid_origin: jnp.ndarray,
@@ -135,6 +130,13 @@ def render_frame(
         "node": gbuf["node"],
     }
     return new_state, outputs
+
+
+render_frame = partial(
+    jax.jit,
+    static_argnames=("dims", "height", "width", "radius", "reproject"),
+    donate_argnames=("state",),
+)(render_frame_impl)
 
 
 @dataclasses.dataclass

@@ -1,0 +1,119 @@
+"""Multi-chip scaling: image-tile data parallelism over a device mesh.
+
+The reference's only parallelism is the GPU's own SIMT grid (16x16
+workgroups, ``src/context.rs:2018-2037``) — single device, no
+communication layer.  The TPU-native scaling axis is sharding the pixel
+dimension of every per-pixel array over a 1-D ``jax.sharding.Mesh``
+("rows"), with the scene, noise buffer and camera replicated:
+
+  * the path-trace stage is embarrassingly parallel per pixel — no
+    collectives at all on its hot loop;
+  * the temporal resample and the denoise stencil read across row-tile
+    boundaries; XLA's SPMD partitioner inserts the halo exchanges
+    (collective-permutes) over ICI automatically — this is why the
+    frame is expressed as ordinary jnp ops under ``jit`` with sharding
+    annotations rather than hand-written shard_map collectives.
+
+Scene data is replicated (voxel scenes are tens of MB — far below HBM),
+so the only steady-state ICI traffic is the stencil halos.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine import pipeline
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = "rows") -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), (axis,))
+
+
+def _state_specs(axis: str) -> Dict[str, P]:
+    return {
+        "accum_color": P(axis),
+        "accum_blend": P(axis),
+        "old_depth": P(axis),
+        "old_cam": P(),
+        "history_valid": P(),
+    }
+
+
+def sharded_render_frame(
+    mesh: Mesh,
+    *,
+    dims: Tuple[int, int, int],
+    height: int,
+    width: int,
+    radius: int = 0,
+    reproject: bool = True,
+    axis: str = "rows",
+):
+    """Build a jitted frame function with row-sharded pixel arrays.
+
+    Returns ``(fn, shard_state)`` where ``shard_state`` places a host
+    state dict onto the mesh.  ``fn`` has the same signature as
+    :func:`voxtracer.engine.pipeline.render_frame` minus the static
+    keywords.
+    """
+    n_dev = mesh.devices.size
+    if height % n_dev != 0:
+        raise ValueError(
+            f"height {height} must divide evenly over {n_dev} devices"
+        )
+
+    def spec(p):
+        return NamedSharding(mesh, p)
+
+    state_shardings = {k: spec(v) for k, v in _state_specs(axis).items()}
+    rep = spec(P())
+
+    out_shardings = (
+        state_shardings,
+        {
+            "image": spec(P(axis)),
+            "linear": spec(P(axis)),
+            "trace_color": spec(P(axis)),
+            "depth": spec(P(axis)),
+            "normal": spec(P(axis)),
+            "albedo": spec(P(axis)),
+            "node": spec(P(axis)),
+        },
+    )
+
+    fn = jax.jit(
+        partial(
+            pipeline.render_frame_impl,
+            dims=dims,
+            height=height,
+            width=width,
+            radius=radius,
+            reproject=reproject,
+        ),
+        in_shardings=(
+            state_shardings,  # state
+            rep,  # flat_grid
+            rep,  # grid_origin
+            rep,  # cam
+            None,  # render params (scalars)
+            None,  # temporal params
+            None,  # denoise params
+            rep,  # noise buffer
+            None,  # frame number
+        ),
+        out_shardings=out_shardings,
+        donate_argnums=(0,),
+    )
+
+    def shard_state(state):
+        return {
+            k: jax.device_put(v, state_shardings[k]) for k, v in state.items()
+        }
+
+    return fn, shard_state
