@@ -118,7 +118,7 @@ def render_frame_impl(
         "accum_blend": next_blend,
         "old_depth": gbuf["depth"],
         "old_cam": cam,
-        "history_valid": jnp.ones((), bool),
+        "history_valid": state["history_valid"] | True,
     }
     outputs = {
         "image": image_u8,

@@ -17,6 +17,7 @@ reference's bounds test.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .trace_xla import _normalize
@@ -50,8 +51,8 @@ def denoise(
         out = colors
     else:
         origin, right, up, forward = cam
-        px = jnp.arange(width, dtype=jnp.float32)[None, :, None]
-        py = jnp.arange(height, dtype=jnp.float32)[:, None, None]
+        px = jax.lax.broadcasted_iota(jnp.float32, (height, width, 1), 1)
+        py = jax.lax.broadcasted_iota(jnp.float32, (height, width, 1), 0)
         ray = _normalize(px * right - py * up + forward)
         depth_bias = jnp.maximum(
             0.0, jnp.sum(normal * -ray, axis=-1)
@@ -63,9 +64,9 @@ def denoise(
         log_depth = jnp.log(jnp.abs(depth))
         mat_id = material >> 24
 
-        valid = jnp.ones((height, width), bool)
-        norm_sum = jnp.zeros((height, width))
-        color_sum = jnp.zeros((height, width, 3))
+        valid = jnp.ones_like(depth, dtype=bool)
+        norm_sum = jnp.zeros_like(depth)
+        color_sum = jnp.zeros_like(colors)
         for dy in range(-radius, radius + 1):
             for dx in range(-radius, radius + 1):
                 w_color = _shift2d(colors, dy, dx)

@@ -23,14 +23,15 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .trace_xla import _normalize
 
 
 def _pixel_rays(camera_right, camera_up, camera_forward, height, width):
-    px = jnp.arange(width, dtype=jnp.float32)[None, :, None]
-    py = jnp.arange(height, dtype=jnp.float32)[:, None, None]
+    px = jax.lax.broadcasted_iota(jnp.float32, (height, width, 1), 1)
+    py = jax.lax.broadcasted_iota(jnp.float32, (height, width, 1), 0)
     return _normalize(
         px * camera_right + (-py) * camera_up + camera_forward
     )
@@ -125,13 +126,9 @@ def temporal_blend(
     else:
         in_range = jnp.ones_like(depth, bool)
         old_nd = old_depth
-        qx = jnp.arange(width, dtype=jnp.float32)[None, :]
-        qy = -jnp.arange(height, dtype=jnp.float32)[:, None]
-        old_ray = _normalize(
-            (qx * jnp.ones((height, 1)))[..., None] * o_right
-            + (qy * jnp.ones((1, width)))[..., None] * o_up
-            + o_forward
-        )
+        qx = jax.lax.broadcasted_iota(jnp.float32, (height, width, 1), 1)
+        qy = -jax.lax.broadcasted_iota(jnp.float32, (height, width, 1), 0)
+        old_ray = _normalize(qx * o_right + qy * o_up + o_forward)
         old_world = o_origin + old_nd[..., None] * old_ray
 
     camera_dir = _normalize(origin - world)

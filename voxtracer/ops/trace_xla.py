@@ -18,6 +18,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MAX_BOUNCES = 3
 MAX_ITERATIONS = 2048
@@ -25,9 +26,11 @@ RANDS_PER_BOUNCE = 8
 ALMOST_INFINITY = float(1 << 30)
 CELL = 0.5
 RAY_EPS = 1e-5
-LEAF_BIT = jnp.int32(-(1 << 31))
-EMISSIVE_BIT = jnp.int32(1 << 30)
-MISS_NODE = jnp.int32(0xFFFFFF)
+# numpy scalars, NOT jnp: jnp scalars are device arrays whose embedding at
+# lowering time forces a (slow, remote) device fetch.
+LEAF_BIT = np.int32(-(1 << 31))
+EMISSIVE_BIT = np.int32(1 << 30)
+MISS_NODE = np.int32(0xFFFFFF)
 
 
 def _normalize(v):
@@ -66,7 +69,10 @@ def trace_rays(
     ``trace_rays``.
     """
     n = origins.shape[0]
-    dims_arr = jnp.array(dims, jnp.int32)
+    # numpy (host) constant: a jnp.array here would be created eagerly on
+    # the device and then fetched back during lowering — slow on remote
+    # backends.
+    dims_arr = np.array(dims, np.int32)
     world_lo = grid_origin.astype(jnp.float32) * CELL
     world_hi = (grid_origin + dims_arr).astype(jnp.float32) * CELL
 
@@ -129,15 +135,17 @@ def trace_rays(
         t = jnp.where(alive, t_cross, t)
         return i + 1, alive, cell, t, hit, value, hit_t, hit_cell
 
+    # All loop-state inits derive from traced values (zeros_like) so no
+    # eager device constants are embedded at lowering time.
     init = (
-        jnp.int32(0),
+        np.int32(0),
         intersects,
         cell,
         t0,
-        jnp.zeros(n, bool),
-        jnp.zeros(n, jnp.int32),
-        jnp.zeros(n, jnp.float32),
-        jnp.zeros((n, 3), jnp.int32),
+        jnp.zeros_like(intersects),
+        jnp.zeros_like(cell[:, 0]),
+        jnp.zeros_like(t0),
+        jnp.zeros_like(cell),
     )
     _, alive, cell, t, hit, value, hit_t, hit_cell = jax.lax.while_loop(
         cond, body, init
@@ -176,8 +184,11 @@ def render_sample(
 ) -> Dict[str, jnp.ndarray]:
     """One 1-spp path-traced sample; returns the trace G-buffer."""
     n = height * width
-    px = jnp.tile(jnp.arange(width, dtype=jnp.float32), height)
-    py = jnp.repeat(jnp.arange(height, dtype=jnp.float32), width)
+    # broadcasted_iota instead of arange: index grids stay traced values,
+    # so no eager device constants get embedded in the lowered module
+    # (constant embedding forces device round-trips under remote backends).
+    px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1).reshape(n)
+    py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0).reshape(n)
 
     ray_dir = _normalize(
         px[:, None] * camera_right[None, :]
@@ -192,14 +203,14 @@ def render_sample(
     sun_color = jnp.asarray(params.sun_color) * params.sun_strength
     sky_color = jnp.asarray(params.sky_color)
 
-    sample_color = jnp.zeros((n, 3))
-    blending = jnp.ones((n, 3))
-    ambient_rays = jnp.ones(n)
-    path_alive = jnp.ones(n, bool)
+    sample_color = jnp.zeros_like(ray_dir)
+    blending = jnp.ones_like(ray_dir)
+    ambient_rays = jnp.ones_like(px)
+    path_alive = jnp.full_like(px, True, dtype=bool)
 
-    first_node = jnp.full(n, MISS_NODE, jnp.int32)
-    first_normal = jnp.full((n, 3), ALMOST_INFINITY, jnp.float32)
-    first_time = jnp.full(n, -1.0, jnp.float32)
+    first_node = jnp.full_like(px, MISS_NODE, dtype=jnp.int32)
+    first_normal = jnp.full_like(ray_dir, ALMOST_INFINITY)
+    first_time = jnp.full_like(px, -1.0)
 
     for bounce in range(MAX_BOUNCES):
         k0 = RANDS_PER_BOUNCE * bounce
@@ -210,7 +221,7 @@ def render_sample(
         hit_pos = ray_origin + t[:, None] * ray_dir
 
         color = (
-            jnp.ones((n, 3)) if bounce == 0 else _node_color(node)
+            jnp.ones_like(ray_dir) if bounce == 0 else _node_color(node)
         )
         emissive = (node & EMISSIVE_BIT) != 0
         emittance = (
@@ -311,7 +322,7 @@ def render_sample(
     emissive_first = (first_node & EMISSIVE_BIT) != 0
     albedo = jnp.where(
         emissive_first[:, None],
-        jnp.ones((n, 3)),
+        jnp.ones_like(ray_dir),
         _node_color(first_node),
     )
 
