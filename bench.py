@@ -39,9 +39,11 @@ def main():
     scene = GridScene.from_voxels(voxels_from_vox(voxio.load(vox_path)))
 
     renderer = Renderer(scene=scene, height=HEIGHT, width=WIDTH)
+    # frame-filling view of the sponge (~90% pixel coverage), matching
+    # the reference's demo framing
     cam = Camera(
-        position=np.array([90.0, 70.0, -40.0]),
-        direction=np.array([-0.45, -0.5, 1.0]),
+        position=np.array([36.0, 34.0, -5.0]),
+        direction=np.array([-16.0, -14.0, 25.0]),
     )
 
     for _ in range(WARMUP):

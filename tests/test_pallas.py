@@ -1,0 +1,84 @@
+"""Pallas trace kernel vs oracle, in interpreter mode on CPU.
+
+The real-hardware run of the same comparison lives in the bench/verify
+flow; this keeps kernel-logic regressions visible in the CPU suite.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from voxtracer.engine.camera import Camera
+from voxtracer.engine.params import RenderParams
+from voxtracer.ops import noise as noise_op
+from voxtracer.ops import trace_pallas
+from voxtracer.oracle import renderer as oracle
+from voxtracer.scene import GridScene, VoxelList
+
+
+def test_pallas_interpret_matches_oracle():
+    vl = VoxelList(
+        pos=np.array(
+            [[0, 0, 0], [2, 1, 0], [1, 0, 3], [-2, 1, 1]], dtype=np.int16
+        ),
+        mrgb=np.array(
+            [
+                [0, 200, 100, 50],
+                [0x40, 255, 10, 10],
+                [0, 10, 255, 10],
+                [0, 90, 90, 240],
+            ],
+            dtype=np.uint8,
+        ),
+    )
+    scene = GridScene.from_voxels(vl)
+    cam = Camera(position=np.array([0.3, 0.2, -1.5]))
+    w, h = 128, 64  # padded internally to a whole tile
+    params = RenderParams()
+    right, up, forward = cam.axis_scaled(w, h)
+    buf = noise_op.white_noise_buffer(seed=7, count=32)
+    planes = noise_op.noise_planes(buf, 1, h, w)
+
+    o = oracle.render_sample(
+        scene.values,
+        scene.origin.astype(np.int64),
+        np.asarray(cam.position),
+        right,
+        up,
+        forward,
+        params,
+        planes,
+        w,
+        h,
+    )
+
+    t = scene.device_tables()
+    cam_arr = np.stack([cam.position, right, up, forward]).astype(np.float32)
+    pvec = trace_pallas.pack_params(cam_arr, params)
+    x = trace_pallas.render_sample(
+        jnp.asarray(t["packed_idx"]),
+        jnp.asarray(t["l2"]),
+        jnp.asarray(t["palette"]),
+        jnp.asarray(pvec),
+        jnp.asarray(planes),
+        dims=scene.values.shape,
+        zw=t["zw"],
+        origin=tuple(int(v) for v in scene.origin),
+        n_rows=t["packed_idx"].shape[0],
+        l2_dims=t["l2_dims"],
+        l2_zw=t["l2_zw"],
+        l2_rows=t["l2"].shape[0],
+        height=h,
+        width=w,
+        interpret=True,
+    )
+    x = {k: np.asarray(v) for k, v in x.items()}
+
+    agree = o["node"] == x["node"]
+    assert agree.mean() > 0.999, f"node agreement {agree.mean()}"
+    hit = (o["depth"] >= 0) & agree
+    np.testing.assert_allclose(
+        x["depth"][hit], o["depth"][hit], rtol=1e-5, atol=1e-5
+    )
+    err = np.abs(x["color"] - o["color"]).max(axis=-1)
+    assert (err[agree] < 1e-3).mean() > 0.995
+    assert (o["normal"][agree] == x["normal"][agree]).mean() > 0.999

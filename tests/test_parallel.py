@@ -15,11 +15,13 @@ from voxtracer.engine.params import (
 )
 from voxtracer.ops import noise as noise_op
 from voxtracer.parallel import make_mesh, sharded_render_frame
+from voxtracer.parallel.mesh import scene_device_args
 from voxtracer.scene import GridScene, default_scene
 
 
 def _setup(height, width):
     scene = GridScene.from_voxels(default_scene(radius=10, seed=2))
+    meta, arrays = scene_device_args(scene)
     cam = Camera(
         position=np.array([0.0, 2.0, -8.0]),
         direction=np.array([0.0, -0.3, 1.0]),
@@ -29,8 +31,7 @@ def _setup(height, width):
         np.stack([cam.position, right, up, forward]).astype(np.float32)
     )
     args = (
-        jnp.asarray(scene.values.reshape(-1)),
-        jnp.asarray(scene.origin.astype(np.int32)),
+        arrays,
         cam_arr,
         RenderParams(),
         TemporalParams(),
@@ -38,7 +39,7 @@ def _setup(height, width):
         jnp.asarray(noise_op.white_noise_buffer(seed=1, count=32)),
         jnp.int32(1),
     )
-    return scene, args
+    return scene, meta, args
 
 
 @pytest.mark.parametrize("radius", [0, 2])
@@ -46,12 +47,12 @@ def test_sharded_matches_single_device(radius):
     n_dev = len(jax.devices())
     assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
     height, width = 32, 32
-    scene, args = _setup(height, width)
+    scene, meta, args = _setup(height, width)
 
     single = pipeline.render_frame(
         pipeline.init_state(height, width),
         *args,
-        dims=scene.values.shape,
+        scene_meta=meta,
         height=height,
         width=width,
         radius=radius,
@@ -61,7 +62,7 @@ def test_sharded_matches_single_device(radius):
     mesh = make_mesh()
     fn, shard_state = sharded_render_frame(
         mesh,
-        dims=scene.values.shape,
+        scene_meta=meta,
         height=height,
         width=width,
         radius=radius,

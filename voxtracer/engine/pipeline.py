@@ -31,6 +31,7 @@ from ..ops import denoise as denoise_op
 from ..ops import noise as noise_op
 from ..ops import temporal as temporal_op
 from ..ops import tonemap
+from ..ops import trace_pallas
 from ..ops import trace_xla
 from ..scene.grid import GridScene
 from .camera import Camera
@@ -50,8 +51,7 @@ def init_state(height: int, width: int) -> Dict[str, jnp.ndarray]:
 
 def render_frame_impl(
     state: Dict[str, jnp.ndarray],
-    flat_grid: jnp.ndarray,
-    grid_origin: jnp.ndarray,
+    scene_arrays: Dict[str, jnp.ndarray],
     cam: jnp.ndarray,  # (4, 3): origin, right, up, forward (pixel-scaled)
     render_params: RenderParams,
     temporal_params: TemporalParams,
@@ -59,29 +59,51 @@ def render_frame_impl(
     noise_buffer: jnp.ndarray,  # (S, 128, 128)
     frame_number: jnp.ndarray,  # int32 scalar
     *,
-    dims: Tuple[int, int, int],
+    scene_meta: Tuple,  # hashable static scene geometry, see Renderer
     height: int,
     width: int,
     radius: int,
     reproject: bool,
+    trace_impl: str = "xla",
 ):
+    dims, origin, zw, n_rows, l2_dims, l2_zw, l2_rows, use_l2 = scene_meta
     planes = noise_op.noise_planes(
         noise_buffer, frame_number, height, width, xp=jnp
     )
 
-    gbuf = trace_xla.render_sample(
-        flat_grid,
-        dims,
-        grid_origin,
-        cam[0],
-        cam[1],
-        cam[2],
-        cam[3],
-        render_params,
-        planes,
-        height,
-        width,
-    )
+    if trace_impl == "pallas":
+        params_vec = trace_pallas.pack_params_traced(cam, render_params)
+        gbuf = trace_pallas.render_sample(
+            scene_arrays["packed_idx"],
+            scene_arrays["l2"],
+            scene_arrays["palette"],
+            params_vec,
+            planes,
+            dims=dims,
+            zw=zw,
+            origin=origin,
+            n_rows=n_rows,
+            l2_dims=l2_dims,
+            l2_zw=l2_zw,
+            l2_rows=l2_rows,
+            height=height,
+            width=width,
+            use_l2=use_l2,
+        )
+    else:
+        gbuf = trace_xla.render_sample(
+            scene_arrays["flat_grid"],
+            dims,
+            scene_arrays["grid_origin"],
+            cam[0],
+            cam[1],
+            cam[2],
+            cam[3],
+            render_params,
+            planes,
+            height,
+            width,
+        )
 
     cam_tuple = (cam[0], cam[1], cam[2], cam[3])
     old = state["old_cam"]
@@ -134,7 +156,9 @@ def render_frame_impl(
 
 render_frame = partial(
     jax.jit,
-    static_argnames=("dims", "height", "width", "radius", "reproject"),
+    static_argnames=(
+        "scene_meta", "height", "width", "radius", "reproject", "trace_impl"
+    ),
     donate_argnames=("state",),
 )(render_frame_impl)
 
@@ -157,8 +181,12 @@ class Renderer:
     denoise_params: DenoiseParams = DenoiseParams()
     denoise_radius: int = 0
     noise_buffer: Optional[np.ndarray] = None
+    trace_impl: Optional[str] = None  # "pallas" (TPU), "xla" (portable)
 
     def __post_init__(self):
+        if self.trace_impl is None:
+            platform = jax.devices()[0].platform
+            self.trace_impl = "xla" if platform == "cpu" else "pallas"
         if self.noise_buffer is None:
             self.noise_buffer = noise_op.white_noise_buffer()
         self._noise = jnp.asarray(self.noise_buffer)
@@ -169,10 +197,10 @@ class Renderer:
         self._last_cam: Optional[np.ndarray] = None
 
     def _upload_scene(self, scene: GridScene):
+        from ..parallel.mesh import scene_device_args
+
         self.scene = scene
-        self._dims = scene.values.shape
-        self._flat_grid = jnp.asarray(scene.values.reshape(-1))
-        self._grid_origin = jnp.asarray(scene.origin.astype(np.int32))
+        self._scene_meta, self._scene_arrays = scene_device_args(scene)
 
     def set_scene(self, scene: GridScene):
         """Swap scenes and restart accumulation (src/context.rs:1406-1424)."""
@@ -201,18 +229,18 @@ class Renderer:
 
         self.state, outputs = render_frame(
             self.state,
-            self._flat_grid,
-            self._grid_origin,
+            self._scene_arrays,
             jnp.asarray(cam),
             self.render_params,
             self.temporal_params,
             self.denoise_params,
             self._noise,
             jnp.int32(self.frame_number),
-            dims=self._dims,
+            scene_meta=self._scene_meta,
             height=self.height,
             width=self.width,
             radius=self.denoise_radius,
             reproject=moved,
+            trace_impl=self.trace_impl,
         )
         return outputs

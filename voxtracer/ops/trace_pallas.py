@@ -1,0 +1,829 @@
+"""Path-trace stage as a Pallas TPU kernel — the performance path.
+
+Same observable semantics as :mod:`voxtracer.oracle.renderer` /
+:mod:`voxtracer.ops.trace_xla` (which mirror ``shaders/voxels.comp``),
+engineered for what the TPU vector core actually supports:
+
+  * Rays are tiled into (64, 128) pixel blocks; each grid program path
+    traces its whole tile (3 bounces + sun shadow rays) with all state
+    in (64, 128) register planes — the TPU analog of the reference's
+    16x16 GPU workgroups (``voxels.comp:15``).
+  * The scene lives in VMEM as a palette-index grid, 3 consecutive-z
+    10-bit indices packed per int32 word (``GridScene.device_tables``).
+    One fetched word answers occupancy for 3 cells, and at a hit its
+    index *is* the color lookup — no separate value fetch.
+  * Per-lane random access is the TPU's weak spot: the only fast
+    primitive is a cross-lane ``dynamic_gather`` within 128-word rows.
+    Word fetches therefore run through a coherence-adaptive "row serve"
+    loop: each iteration min-reduces the pending row indices, slices
+    that row from the table (scalar dynamic slice), broadcasts it and
+    gathers per-lane columns; lanes waiting on other rows simply retry
+    next iteration.  Coherent rays (primary, shadow) need ~1-2 serves
+    per step; divergent bounce rays degrade gracefully.
+  * Palette resolution is a flat gather over a (8, 128) table: 8
+    broadcast+gather+select rounds.
+
+Mosaic restrictions honored here (probed empirically, see repo notes):
+``dynamic_gather`` rows must be exactly 128 wide; bool loop carries
+must not be updated in the body (int32 0/1 masks instead); scalar
+dynamic-slice indices may come from vector reductions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.grid import CELL_SIZE
+
+TILE_H = 128
+TILE_W = 128
+MAX_BOUNCES = 3
+RANDS_PER_BOUNCE = 8
+MAX_OUTER_ITERS = 4096
+ALMOST_INFINITY = float(1 << 30)
+LEAF_BIT = np.int32(-(1 << 31))
+EMISSIVE_BIT = np.int32(1 << 30)
+MISS_NODE = np.int32(0xFFFFFF)
+RAY_EPS = 1e-5
+BIG_I32 = np.int32(1 << 30)
+
+# float32 params vector layout (SMEM row):
+#   0-2 cam origin | 3-5 right | 6-8 up | 9-11 forward(pixel-scaled)
+#   12 sun_yaw | 13 sun_pitch | 14 sun_size | 15 sun_strength
+#   16 emit_strength | 17 specularity | 18-20 sun_color | 21-23 sky_color
+#   24-26 sun direction (raw) | 27-29 sun direction (normalized)
+# (sun trig is precomputed host/XLA-side: Mosaic has no scalar trig)
+PARAMS_LEN = 32
+
+
+def pack_params(cam: np.ndarray, p) -> np.ndarray:
+    out = np.zeros((1, PARAMS_LEN), np.float32)
+    out[0, 0:12] = np.asarray(cam, np.float32).reshape(12)
+    out[0, 12] = p.sun_yaw
+    out[0, 13] = p.sun_pitch
+    out[0, 14] = p.sun_size
+    out[0, 15] = p.sun_strength
+    out[0, 16] = p.emit_strength
+    out[0, 17] = p.specularity
+    out[0, 18:21] = np.asarray(p.sun_color)
+    out[0, 21:24] = np.asarray(p.sky_color)
+    sd = np.array(
+        [
+            np.cos(p.sun_yaw) * np.cos(p.sun_pitch),
+            -np.sin(p.sun_pitch),
+            np.sin(p.sun_yaw) * np.cos(p.sun_pitch),
+        ],
+        np.float32,
+    )
+    out[0, 24:27] = sd
+    out[0, 27:30] = sd / np.linalg.norm(sd)
+    return out
+
+
+def pack_params_traced(cam, p):
+    """Traced variant (for use inside jit): returns (1, PARAMS_LEN) f32."""
+    flat = [cam.reshape(12)] + [
+        jnp.stack(
+            [
+                jnp.asarray(p.sun_yaw, jnp.float32),
+                jnp.asarray(p.sun_pitch, jnp.float32),
+                jnp.asarray(p.sun_size, jnp.float32),
+                jnp.asarray(p.sun_strength, jnp.float32),
+                jnp.asarray(p.emit_strength, jnp.float32),
+                jnp.asarray(p.specularity, jnp.float32),
+            ]
+        ),
+        jnp.asarray(p.sun_color, jnp.float32),
+        jnp.asarray(p.sky_color, jnp.float32),
+    ]
+    sd = jnp.stack(
+        [
+            jnp.cos(p.sun_yaw) * jnp.cos(p.sun_pitch),
+            -jnp.sin(p.sun_pitch),
+            jnp.sin(p.sun_yaw) * jnp.cos(p.sun_pitch),
+        ]
+    ).astype(jnp.float32)
+    flat += [sd, sd / jnp.linalg.norm(sd)]
+    vec = jnp.concatenate(flat)
+    return jnp.pad(vec, (0, PARAMS_LEN - vec.shape[0])).reshape(1, PARAMS_LEN)
+
+
+def _flat_gather_1024(table, idx):
+    """Per-lane gather from a (8, 128) table; idx in [0, 1024)."""
+    lo = idx & 127
+    hi = idx >> 7
+    out = jnp.zeros_like(idx)
+    for s in range(8):
+        row = jnp.broadcast_to(table[s : s + 1, :], idx.shape)
+        g = jnp.take_along_axis(row, lo, axis=1)
+        out = jnp.where(hi == s, g, out)
+    return out
+
+
+def _div3(v):
+    """Exact v // 3 for 0 <= v < 98304 without integer division."""
+    return (v * 21846) >> 16
+
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(x * x + y * y + z * z)
+    return x * inv, y * inv, z * inv
+
+
+def _norm_div3(x, y, z):
+    """normalize via sqrt-divide (matches oracle/XLA rounding more
+    closely than rsqrt)."""
+    n = jnp.sqrt(x * x + y * y + z * z)
+    return x / n, y / n, z / n
+
+
+def _make_traverse(
+    dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows,
+    use_l2=True, serves_per_iter=2,
+):
+    """Build the in-kernel two-level DDA traversal closure.
+
+    Fine level: palette-index words at ``(x * Y + y) * zw + z // 3``.
+    Skip level (L2): one occupancy bit per 8^3-cell block, words at
+    ``(bx * BY + by) * l2_zw + (bz >> 5)``, bit ``bz & 31``; rays jump
+    across empty blocks in one step (the TPU equivalent of the octree's
+    empty-interior-node skipping, voxels.comp:191-221).
+    """
+    X, Y, Z = (int(d) for d in dims)
+    BX, BY, BZ = (int(d) for d in l2_dims)
+    oxi, oyi, ozi = (int(o) for o in origin)
+    wlo = (oxi * CELL_SIZE, oyi * CELL_SIZE, ozi * CELL_SIZE)
+    whi = (
+        (oxi + X) * CELL_SIZE,
+        (oyi + Y) * CELL_SIZE,
+        (ozi + Z) * CELL_SIZE,
+    )
+
+    def traverse(table_ref, l2_ref, o3, d3, mask=None, serves=None):
+        """Returns (hit i32, t, slot i32, fused, normal tuple).
+
+        ``mask`` (bool) gates which lanes traverse at all — dead paths
+        and missed parents skip the march entirely.
+        """
+        ox_, oy_, oz_ = o3
+        dx, dy, dz = d3
+        inf = jnp.float32(np.inf)
+        invx = jnp.where(dx != 0.0, 1.0 / dx, inf)
+        invy = jnp.where(dy != 0.0, 1.0 / dy, inf)
+        invz = jnp.where(dz != 0.0, 1.0 / dz, inf)
+
+        def slab(lo, hi, o, inv):
+            a = (lo - o) * inv
+            b = (hi - o) * inv
+            return jnp.minimum(a, b), jnp.maximum(a, b)
+
+        enx, exx = slab(wlo[0], whi[0], ox_, invx)
+        eny, exy = slab(wlo[1], whi[1], oy_, invy)
+        enz, exz = slab(wlo[2], whi[2], oz_, invz)
+        t_entry = jnp.maximum(jnp.maximum(enx, eny), enz)
+        t_exit = jnp.minimum(jnp.minimum(exx, exy), exz)
+        intersects = (t_exit >= 0.0) & (t_entry < t_exit)
+
+        t0 = jnp.maximum(0.0, t_entry)
+
+        def cell_from_float(o, d, t, og):
+            p = o + t * d
+            cf = p / CELL_SIZE - og
+            c = jnp.floor(cf)
+            return jnp.where((cf == c) & (d < 0), c - 1.0, c).astype(
+                jnp.int32
+            )
+
+        cx = jnp.clip(cell_from_float(ox_, dx, t0, float(oxi)), 0, X - 1)
+        cy = jnp.clip(cell_from_float(oy_, dy, t0, float(oyi)), 0, Y - 1)
+        cz = jnp.clip(cell_from_float(oz_, dz, t0, float(ozi)), 0, Z - 1)
+
+        sx = jnp.sign(dx).astype(jnp.int32)
+        sy = jnp.sign(dy).astype(jnp.int32)
+        sz = jnp.sign(dz).astype(jnp.int32)
+
+        if mask is not None:
+            intersects = intersects & mask
+        active0 = intersects.astype(jnp.int32)
+        zero_i = jnp.zeros_like(cx)
+        zero_f = jnp.zeros_like(t0)
+
+        def cond(s):
+            it, active = s[0], s[1]
+            return jnp.logical_and(it < MAX_OUTER_ITERS, jnp.max(active) > 0)
+
+        def body(s):
+            (
+                it,
+                active,
+                cx,
+                cy,
+                cz,
+                t,
+                cached,
+                word,
+                cached2,
+                word2,
+                hit,
+                hit_t,
+                hcx,
+                hcy,
+                hcz,
+                hslot,
+            ) = s
+
+            # 1. bounds check (oracle order: before the value test)
+            inb = (
+                (cx >= 0)
+                & (cx < X)
+                & (cy >= 0)
+                & (cy < Y)
+                & (cz >= 0)
+                & (cz < Z)
+            ).astype(jnp.int32)
+            active = active * inb
+            act = active == 1
+
+            # 2. skip-level occupancy for the 8^3 block
+            if use_l2:
+                bx = cx >> 3
+                by = cy >> 3
+                bz = cz >> 3
+                a2 = (bx * BY + by) * l2_zw + (bz >> 5)
+                a2 = jnp.where(act, a2, 0)
+                need2 = act & (a2 != cached2)
+                rows2 = a2 >> 7
+                r2_min = jnp.min(jnp.where(need2, rows2, BIG_I32))
+                r2 = jnp.minimum(r2_min, l2_rows - 1)
+                row2 = jnp.broadcast_to(l2_ref[pl.ds(r2, 1), :], a2.shape)
+                g2 = jnp.take_along_axis(row2, a2 & 127, axis=1)
+                serve2 = need2 & (rows2 == r2_min)
+                word2 = jnp.where(serve2, g2, word2)
+                cached2 = jnp.where(serve2, a2, cached2)
+                l2_ready = act & (a2 == cached2)
+                block_occ = ((word2 >> (bz & 31)) & 1) == 1
+            else:
+                l2_ready = act
+                block_occ = act | True
+
+            # 3a. empty block: jump to the block exit in one step
+            skip = l2_ready & (~block_occ)
+
+            if use_l2:
+                def bt_axis(b, og, sgn, o, inv):
+                    nb = (og + ((b + (sgn > 0)) << 3).astype(jnp.float32)) * CELL_SIZE
+                    return jnp.where(sgn != 0, (nb - o) * inv, inf)
+
+                btx = bt_axis(bx, float(oxi), sx, ox_, invx)
+                bty = bt_axis(by, float(oyi), sy, oy_, invy)
+                btz = bt_axis(bz, float(ozi), sz, oz_, invz)
+                bt = jnp.minimum(jnp.minimum(btx, bty), btz)
+                bsx = (btx <= bty) & (btx <= btz)
+                bsy = (~bsx) & (bty <= btz)
+                bsz = (~bsx) & (~bsy)
+                jx = jnp.where(sx > 0, (bx + 1) << 3, (bx << 3) - 1)
+                jy = jnp.where(sy > 0, (by + 1) << 3, (by << 3) - 1)
+                jz = jnp.where(sz > 0, (bz + 1) << 3, (bz << 3) - 1)
+                fxc = cell_from_float(ox_, dx, bt, float(oxi))
+                fyc = cell_from_float(oy_, dy, bt, float(oyi))
+                fzc = cell_from_float(oz_, dz, bt, float(ozi))
+                ncx = jnp.where(bsx, jx, fxc)
+                ncy = jnp.where(bsy, jy, fyc)
+                ncz = jnp.where(bsz, jz, fzc)
+            else:
+                bt = t
+                ncx, ncy, ncz = cx, cy, cz
+
+            # 3b. occupied block: fetch the fine word and step one cell.
+            # Serve-until-done: every fine lane gets its word this
+            # iteration; each serve round costs ~6 ops (vs re-running
+            # the whole ~80-op body on a stall), so divergence degrades
+            # gracefully instead of starving lanes into the fuse.
+            fine = l2_ready & block_occ
+            czw = _div3(cz)
+            waddr = (cx * Y + cy) * zw + czw
+            waddr = jnp.where(fine, waddr, 0)
+            rows = waddr >> 7
+            fine_i = fine.astype(jnp.int32)
+
+            def serve_cond(ss):
+                k, word_, cached_ = ss
+                unserved = (fine_i == 1) & (waddr != cached_)
+                return jnp.logical_and(k < 256, unserved.any())
+
+            def serve_body(ss):
+                # 4 serve rounds per while iteration: loop-control
+                # overhead on TPU is microseconds, so amortize it
+                k, word_, cached_ = ss
+                for _ in range(4):
+                    needf = (fine_i == 1) & (waddr != cached_)
+                    r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
+                    r_safe = jnp.minimum(r_min, n_rows - 1)
+                    row = table_ref[pl.ds(r_safe, 1), :]
+                    row_b = jnp.broadcast_to(row, waddr.shape)
+                    g = jnp.take_along_axis(row_b, waddr & 127, axis=1)
+                    serve = needf & (rows == r_min)
+                    word_ = jnp.where(serve, g, word_)
+                    cached_ = jnp.where(serve, waddr, cached_)
+                return k + 1, word_, cached_
+
+            _, word, cached = jax.lax.while_loop(
+                serve_cond, serve_body, (np.int32(0), word, cached)
+            )
+
+            ready = fine & (waddr == cached)
+            czr = cz - czw * 3
+            slot = (word >> (czr * 10)) & 1023
+
+            found = ready & (slot != 0)
+            hit = jnp.where(found, 1, hit)
+            hit_t = jnp.where(found, t, hit_t)
+            hcx = jnp.where(found, cx, hcx)
+            hcy = jnp.where(found, cy, hcy)
+            hcz = jnp.where(found, cz, hcz)
+            hslot = jnp.where(found, slot, hslot)
+            active = active * (1 - found.astype(jnp.int32))
+
+            adv = ready & (slot == 0)
+
+            def t_axis(c, og, sgn, o, inv):
+                nb = (og + c.astype(jnp.float32) + (sgn > 0)) * CELL_SIZE
+                return jnp.where(sgn != 0, (nb - o) * inv, inf)
+
+            tx = t_axis(cx, float(oxi), sx, ox_, invx)
+            ty = t_axis(cy, float(oyi), sy, oy_, invy)
+            tz = t_axis(cz, float(ozi), sz, oz_, invz)
+            t_cross = jnp.minimum(jnp.minimum(tx, ty), tz)
+            selx = (tx <= ty) & (tx <= tz)
+            sely = (~selx) & (ty <= tz)
+            selz = (~selx) & (~sely)
+
+            cx = jnp.where(adv & selx, cx + sx, jnp.where(skip, ncx, cx))
+            cy = jnp.where(adv & sely, cy + sy, jnp.where(skip, ncy, cy))
+            cz = jnp.where(adv & selz, cz + sz, jnp.where(skip, ncz, cz))
+            t = jnp.where(adv, t_cross, jnp.where(skip, bt, t))
+
+            return (
+                it + 1,
+                active,
+                cx,
+                cy,
+                cz,
+                t,
+                cached,
+                word,
+                cached2,
+                word2,
+                hit,
+                hit_t,
+                hcx,
+                hcy,
+                hcz,
+                hslot,
+            )
+
+        state = (
+            np.int32(0),
+            active0,
+            cx,
+            cy,
+            cz,
+            t0,
+            zero_i - 1,  # cached fine word address
+            zero_i,
+            zero_i - 1,  # cached L2 word address
+            zero_i,
+            zero_i,  # hit mask
+            zero_f,
+            zero_i,
+            zero_i,
+            zero_i,
+            zero_i,  # hit slot
+        )
+        out = jax.lax.while_loop(cond, body, state)
+        (
+            n_iters,
+            active,
+            cx,
+            cy,
+            cz,
+            t,
+            _,
+            _,
+            _,
+            _,
+            hit,
+            hit_t,
+            hcx,
+            hcy,
+            hcz,
+            hslot,
+        ) = out
+
+        # iteration fuse -> opaque black leaf (voxels.comp:166-169)
+        fused = active == 1
+        hit = jnp.where(fused, 1, hit)
+        hit_t = jnp.where(fused, t, hit_t)
+        hcx = jnp.where(fused, cx, hcx)
+        hcy = jnp.where(fused, cy, hcy)
+        hcz = jnp.where(fused, cz, hcz)
+
+        # normal: dominant axis of (hit point - cell center), sign
+        # opposing the ray; exact ties set several components
+        # (voxels.comp:181-187)
+        px = ox_ + hit_t * dx
+        py = oy_ + hit_t * dy
+        pz = oz_ + hit_t * dz
+        ccx = (float(oxi) + hcx.astype(jnp.float32)) * CELL_SIZE + 0.5 * CELL_SIZE
+        ccy = (float(oyi) + hcy.astype(jnp.float32)) * CELL_SIZE + 0.5 * CELL_SIZE
+        ccz = (float(ozi) + hcz.astype(jnp.float32)) * CELL_SIZE + 0.5 * CELL_SIZE
+        ax = jnp.abs(px - ccx)
+        ay = jnp.abs(py - ccy)
+        az = jnp.abs(pz - ccz)
+        m = jnp.maximum(jnp.maximum(ax, ay), az)
+        hitb = hit == 1
+        nx = jnp.where((ax == m) & hitb, -jnp.sign(dx), 0.0)
+        ny = jnp.where((ay == m) & hitb, -jnp.sign(dy), 0.0)
+        nz = jnp.where((az == m) & hitb, -jnp.sign(dz), 0.0)
+
+        return hit, hit_t, hslot, fused, (nx, ny, nz), n_iters
+
+    return traverse
+
+
+def _make_kernel(
+    dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows, use_l2,
+    max_bounces=MAX_BOUNCES, bounce_serves=12,
+):
+    traverse = _make_traverse(
+        dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows, use_l2=use_l2
+    )
+
+    def kernel(
+        params_ref,  # (1, PARAMS_LEN) f32 SMEM
+        table_ref,  # (n_rows, 128) int32 VMEM
+        l2_ref,  # (l2_rows, 128) int32 VMEM
+        palette_ref,  # (8, 128) int32 VMEM
+        noise_ref,  # (24, TILE_H, TILE_W) f32 VMEM
+        color_r_ref,
+        color_g_ref,
+        color_b_ref,
+        normal_x_ref,
+        normal_y_ref,
+        normal_z_ref,
+        depth_ref,
+        node_ref,
+        albedo_r_ref,
+        albedo_g_ref,
+        albedo_b_ref,
+        debug_ref,
+    ):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+
+        def P(i):
+            return params_ref[0, i]
+
+        shape = (TILE_H, TILE_W)
+        fy = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+        fx = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        # traced zero/one planes (plain jnp.zeros here would become an
+        # eagerly-created device constant - see module docstring)
+        zf = fx * 0.0
+        onef = zf + 1.0
+        zi = zf.astype(jnp.int32)
+        px = tj.astype(jnp.float32) * TILE_W + fx
+        py = ti.astype(jnp.float32) * TILE_H + fy
+
+        cam_o = (P(0), P(1), P(2))
+        right = (P(3), P(4), P(5))
+        up = (P(6), P(7), P(8))
+        fwd = (P(9), P(10), P(11))
+
+        rdx = px * right[0] - py * up[0] + fwd[0]
+        rdy = px * right[1] - py * up[1] + fwd[1]
+        rdz = px * right[2] - py * up[2] + fwd[2]
+        rdx, rdy, rdz = _norm_div3(rdx, rdy, rdz)
+
+        rox = zf + cam_o[0]
+        roy = zf + cam_o[1]
+        roz = zf + cam_o[2]
+
+        sun_yaw, sun_pitch = P(12), P(13)
+        sun_size, sun_strength = P(14), P(15)
+        emit_strength, specularity = P(16), P(17)
+        sun_col = (P(18) * sun_strength, P(19) * sun_strength, P(20) * sun_strength)
+        sky = (P(21), P(22), P(23))
+
+        sdx, sdy, sdz = P(24), P(25), P(26)
+        nsx, nsy, nsz = P(27), P(28), P(29)
+
+        def noise(k):
+            return noise_ref[k, :, :]
+
+        def slot_color(slot_vals):
+            node = _flat_gather_1024(palette_ref[:, :], slot_vals)
+            return node
+
+        def node_rgb(node):
+            r = ((node >> 16) & 0xFF).astype(jnp.float32) / 255.0
+            g = ((node >> 8) & 0xFF).astype(jnp.float32) / 255.0
+            b = (node & 0xFF).astype(jnp.float32) / 255.0
+            return r, g, b
+
+        iter_counts = []
+        sample_r, sample_g, sample_b = zf, zf, zf
+        blend_r, blend_g, blend_b = onef, onef, onef
+        ambient = onef
+        alive = zi + 1
+
+        first_node = zi + MISS_NODE
+        first_nx = zf + ALMOST_INFINITY
+        first_ny = zf + ALMOST_INFINITY
+        first_nz = zf + ALMOST_INFINITY
+        first_t = zf - 1.0
+
+        for bounce in range(max_bounces):
+            k0 = RANDS_PER_BOUNCE * bounce
+            hit_i, t, slot, fused, (nx, ny, nz), t_iters = traverse(
+                table_ref, l2_ref, (rox, roy, roz), (rdx, rdy, rdz),
+                mask=(alive == 1),
+                serves=2 if bounce == 0 else bounce_serves,
+            )
+            iter_counts.append(t_iters)
+            hit = (hit_i == 1) & (alive == 1)
+            node = slot_color(slot)
+            node = jnp.where(fused, LEAF_BIT, node)
+
+            hx_pos = rox + t * rdx
+            hy_pos = roy + t * rdy
+            hz_pos = roz + t * rdz
+
+            cr, cg, cb = node_rgb(node)
+            if bounce == 0:
+                col_r = onef
+                col_g = col_r
+                col_b = col_r
+            else:
+                col_r, col_g, col_b = cr, cg, cb
+            emissive = ((node & EMISSIVE_BIT) != 0).astype(jnp.float32)
+            em_r = emissive * emit_strength * cr
+            em_g = emissive * emit_strength * cg
+            em_b = emissive * emit_strength * cb
+
+            if bounce == 0:
+                first_node = jnp.where(hit, node, first_node)
+                first_nx = jnp.where(hit, nx, first_nx)
+                first_ny = jnp.where(hit, ny, first_ny)
+                first_nz = jnp.where(hit, nz, first_nz)
+                first_t = jnp.where(hit, t, first_t)
+
+            specular = noise(k0) < specularity
+
+            # specular reflection
+            ddn = _dot3(nx, ny, nz, rdx, rdy, rdz)
+            rfx, rfy, rfz = _norm_div3(
+                rdx - 2.0 * ddn * nx, rdy - 2.0 * ddn * ny, rdz - 2.0 * ddn * nz
+            )
+            spec_dot = _dot3(rfx, rfy, rfz, nx, ny, nz)
+
+            # sun next-event estimation
+            rdax, rday, rdaz = noise(k0 + 1), noise(k0 + 2), noise(k0 + 3)
+            upx = rday * sdz - rdaz * sdy
+            upy = rdaz * sdx - rdax * sdz
+            upz = rdax * sdy - rday * sdx
+            upx, upy, upz = _norm_div3(upx, upy, upz)
+            rix = sdy * upz - sdz * upy
+            riy = sdz * upx - sdx * upz
+            riz = sdx * upy - sdy * upx
+            rix, riy, riz = _norm_div3(rix, riy, riz)
+            ddx = 2.0 * noise(k0 + 4) - 1.0
+            ddy = 2.0 * noise(k0 + 5) - 1.0
+            ldx = nsx + (ddx * rix + ddy * upx) * sun_size
+            ldy = nsy + (ddx * riy + ddy * upy) * sun_size
+            ldz = nsz + (ddx * riz + ddy * upz) * sun_size
+            shx, shy, shz = _norm_div3(-ldx, -ldy, -ldz)
+            sox = hx_pos + RAY_EPS * nx
+            soy = hy_pos + RAY_EPS * ny
+            soz = hz_pos + RAY_EPS * nz
+            obst_i, _, _, _, _, s_iters = traverse(
+                table_ref, l2_ref, (sox, soy, soz), (shx, shy, shz),
+                mask=hit & (~specular) & (sun_strength > 0.0),
+                serves=2 if bounce == 0 else bounce_serves,
+            )
+            iter_counts.append(s_iters)
+            cos_term = jnp.maximum(0.0, _dot3(nx, ny, nz, shx, shy, shz))
+            sun_on = sun_strength > 0.0
+            sun_ok = (obst_i == 0) & sun_on
+
+            # hemisphere sample
+            phi = 2.0 * np.float32(np.pi) * noise(k0 + 6)
+            hxs = 2.0 * noise(k0 + 7) - 1.0
+            pr = jnp.sqrt(jnp.maximum(0.0, 1.0 - hxs * hxs))
+            spx = hxs
+            spy = pr * jnp.cos(phi)
+            spz = pr * jnp.sin(phi)
+            ndot = _dot3(nx, ny, nz, spx, spy, spz)
+            flip = jnp.minimum(0.0, 2.0 * ndot)
+            hmx = spx - nx * flip
+            hmy = spy - ny * flip
+            hmz = spz - nz * flip
+            diff_dot = _dot3(nx, ny, nz, hmx, hmy, hmz)
+
+            spec_sel = specular & hit
+            diff_sel = (~specular) & hit
+
+            sample_r += jnp.where(hit, em_r * blend_r, 0.0)
+            sample_g += jnp.where(hit, em_g * blend_g, 0.0)
+            sample_b += jnp.where(hit, em_b * blend_b, 0.0)
+            sun_gate = diff_sel & sun_ok
+            sample_r += jnp.where(sun_gate, sun_col[0] * col_r * blend_r * cos_term, 0.0)
+            sample_g += jnp.where(sun_gate, sun_col[1] * col_g * blend_g * cos_term, 0.0)
+            sample_b += jnp.where(sun_gate, sun_col[2] * col_b * blend_b * cos_term, 0.0)
+            ambient += (diff_sel & sun_on).astype(jnp.float32)
+
+            bf_spec = 2.0 * spec_dot
+            blend_r = jnp.where(
+                spec_sel,
+                blend_r * col_r * bf_spec,
+                jnp.where(diff_sel, blend_r * col_r * diff_dot, blend_r),
+            )
+            blend_g = jnp.where(
+                spec_sel,
+                blend_g * col_g * bf_spec,
+                jnp.where(diff_sel, blend_g * col_g * diff_dot, blend_g),
+            )
+            blend_b = jnp.where(
+                spec_sel,
+                blend_b * col_b * bf_spec,
+                jnp.where(diff_sel, blend_b * col_b * diff_dot, blend_b),
+            )
+
+            # miss shading (sun disk only on the primary ray)
+            miss = (alive == 1) & (~hit)
+            if bounce == 0:
+                # pow via exp/log (no vector pow in Mosaic); exponent
+                # is the sun-disk sharpness 1/sun_size^2
+                base = jnp.maximum(
+                    1e-38, _dot3(rdx, rdy, rdz, -nsx, -nsy, -nsz)
+                )
+                glow = jnp.exp(
+                    jnp.log(base) / jnp.maximum(sun_size * sun_size, 1e-12)
+                )
+                sky_r = sky[0] + sun_col[0] * glow
+                sky_g = sky[1] + sun_col[1] * glow
+                sky_b = sky[2] + sun_col[2] * glow
+            else:
+                sky_r = zf + sky[0]
+                sky_g = zf + sky[1]
+                sky_b = zf + sky[2]
+            sample_r += jnp.where(miss, sky_r * blend_r, 0.0)
+            sample_g += jnp.where(miss, sky_g * blend_g, 0.0)
+            sample_b += jnp.where(miss, sky_b * blend_b, 0.0)
+
+            alive = alive * hit.astype(jnp.int32)
+
+            # next ray
+            rdx = jnp.where(spec_sel, rfx, jnp.where(diff_sel, hmx, rdx))
+            rdy = jnp.where(spec_sel, rfy, jnp.where(diff_sel, hmy, rdy))
+            rdz = jnp.where(spec_sel, rfz, jnp.where(diff_sel, hmz, rdz))
+            rox = jnp.where(hit, sox, rox)
+            roy = jnp.where(hit, soy, roy)
+            roz = jnp.where(hit, soz, roz)
+
+        color_r_ref[:] = sample_r / ambient
+        color_g_ref[:] = sample_g / ambient
+        color_b_ref[:] = sample_b / ambient
+        normal_x_ref[:] = first_nx
+        normal_y_ref[:] = first_ny
+        normal_z_ref[:] = first_nz
+        depth_ref[:] = first_t
+        node_ref[:] = first_node
+        emiss_first = (first_node & EMISSIVE_BIT) != 0
+        fr, fg, fb = node_rgb(first_node)
+        albedo_r_ref[:] = jnp.where(emiss_first, 1.0, fr)
+        albedo_g_ref[:] = jnp.where(emiss_first, 1.0, fg)
+        albedo_b_ref[:] = jnp.where(emiss_first, 1.0, fb)
+        dbg = zf
+        for k, itc in enumerate(iter_counts):
+            dbg = jnp.where((fy == 0.0) & (fx == float(k)), itc.astype(jnp.float32), dbg)
+        debug_ref[:] = dbg
+
+    return kernel
+
+
+def _pad_to(x, m):
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dims", "zw", "origin", "n_rows", "l2_dims", "l2_zw", "l2_rows",
+        "height", "width", "interpret", "use_l2", "max_bounces",
+        "bounce_serves",
+    ),
+)
+def render_sample(
+    packed_idx: jnp.ndarray,  # (n_rows, 128) int32
+    l2: jnp.ndarray,  # (l2_rows, 128) int32
+    palette: jnp.ndarray,  # (8, 128) int32
+    params_vec: jnp.ndarray,  # (1, PARAMS_LEN) f32
+    noise_planes: jnp.ndarray,  # (24, H, W) f32
+    *,
+    dims: Tuple[int, int, int],
+    zw: int,
+    origin: Tuple[int, int, int],
+    n_rows: int,
+    l2_dims: Tuple[int, int, int],
+    l2_zw: int,
+    l2_rows: int,
+    height: int,
+    width: int,
+    interpret: bool = False,
+    use_l2: bool = True,
+    max_bounces: int = MAX_BOUNCES,
+    bounce_serves: int = 12,
+) -> Dict[str, jnp.ndarray]:
+    """Trace one sample with the Pallas kernel; same output dict as
+    :func:`voxtracer.ops.trace_xla.render_sample` (H, W shapes)."""
+    hp = _pad_to(height, TILE_H)
+    wp = _pad_to(width, TILE_W)
+    if (hp, wp) != noise_planes.shape[1:]:
+        noise_planes = jnp.pad(
+            noise_planes,
+            ((0, 0), (0, hp - height), (0, wp - width)),
+        )
+
+    grid = (hp // TILE_H, wp // TILE_W)
+    kernel = _make_kernel(
+        dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows, use_l2,
+        max_bounces=max_bounces, bounce_serves=bounce_serves,
+    )
+
+    plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+    iplane = jax.ShapeDtypeStruct((hp, wp), jnp.int32)
+    tile_spec = pl.BlockSpec(
+        (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            plane, plane, plane,  # color rgb
+            plane, plane, plane,  # normal xyz
+            plane,  # depth
+            iplane,  # node
+            plane, plane, plane,  # albedo rgb
+            plane,  # debug (per-traversal iteration counts)
+        ),
+        in_specs=[
+            pl.BlockSpec(
+                (1, PARAMS_LEN),
+                lambda i, j: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            full((n_rows, 128)),
+            full((l2_rows, 128)),
+            full((8, 128)),
+            pl.BlockSpec(
+                (24, TILE_H, TILE_W),
+                lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=tuple([tile_spec] * 12),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(params_vec, packed_idx, l2, palette, noise_planes)
+
+    (cr, cg, cb, nx, ny, nz, depth, node, ar, ag, ab, dbg) = outs
+
+    def crop(a):
+        return a[:height, :width]
+
+    return {
+        "color": jnp.stack([crop(cr), crop(cg), crop(cb)], axis=-1),
+        "normal": jnp.stack([crop(nx), crop(ny), crop(nz)], axis=-1),
+        "depth": crop(depth),
+        "albedo": jnp.stack([crop(ar), crop(ag), crop(ab)], axis=-1),
+        "node": crop(node),
+        "debug_iters": dbg[::TILE_H, :8],
+    }

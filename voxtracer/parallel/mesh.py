@@ -48,11 +48,12 @@ def _state_specs(axis: str) -> Dict[str, P]:
 def sharded_render_frame(
     mesh: Mesh,
     *,
-    dims: Tuple[int, int, int],
+    scene_meta: Tuple,
     height: int,
     width: int,
     radius: int = 0,
     reproject: bool = True,
+    trace_impl: str = "xla",
     axis: str = "rows",
 ):
     """Build a jitted frame function with row-sharded pixel arrays.
@@ -87,19 +88,26 @@ def sharded_render_frame(
         },
     )
 
+    scene_shardings = {
+        "flat_grid": rep,
+        "grid_origin": rep,
+        "packed_idx": rep,
+        "l2": rep,
+        "palette": rep,
+    }
     fn = jax.jit(
         partial(
             pipeline.render_frame_impl,
-            dims=dims,
+            scene_meta=scene_meta,
             height=height,
             width=width,
             radius=radius,
             reproject=reproject,
+            trace_impl=trace_impl,
         ),
         in_shardings=(
             state_shardings,  # state
-            rep,  # flat_grid
-            rep,  # grid_origin
+            scene_shardings,  # scene arrays (replicated)
             rep,  # cam
             None,  # render params (scalars)
             None,  # temporal params
@@ -117,3 +125,29 @@ def sharded_render_frame(
         }
 
     return fn, shard_state
+
+
+def scene_device_args(scene):
+    """(scene_meta, scene_arrays) for render_frame from a GridScene."""
+    import jax.numpy as jnp
+
+    tables = scene.device_tables()
+    occupied_8 = float(scene.mips[3].mean()) if len(scene.mips) > 3 else 1.0
+    meta = (
+        tuple(int(d) for d in scene.values.shape),
+        tuple(int(v) for v in scene.origin),
+        int(tables["zw"]),
+        int(tables["packed_idx"].shape[0]),
+        tuple(int(d) for d in tables["l2_dims"]),
+        int(tables["l2_zw"]),
+        int(tables["l2"].shape[0]),
+        occupied_8 < 0.6,
+    )
+    arrays = {
+        "flat_grid": jnp.asarray(scene.values.reshape(-1)),
+        "grid_origin": jnp.asarray(scene.origin.astype(np.int32)),
+        "packed_idx": jnp.asarray(tables["packed_idx"]),
+        "l2": jnp.asarray(tables["l2"]),
+        "palette": jnp.asarray(tables["palette"]),
+    }
+    return meta, arrays

@@ -23,13 +23,21 @@ voxel is half a world unit across.  The grid stores that mapping as
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 from .voxels import VoxelList, pack_leaves
 
 CELL_SIZE = 0.5  # world size of one voxel
+
+# Device palette capacity: leaf values are palettized so the TPU kernel
+# can resolve hit colors with an in-VMEM (8, 128) table gather.  Scenes
+# with more distinct leaf values (the random-colored procedural bowl)
+# are quantized by hashing values into slots; colliding values share a
+# color.  Quantization happens at build time, so the oracle, XLA and
+# Pallas renderers all see the identical quantized scene.
+PALETTE_CAPACITY = 1024
 
 
 def _ceil_multiple(x: int, m: int) -> int:
@@ -80,7 +88,7 @@ class GridScene:
             ]
             values = np.zeros(dims, dtype=np.int32)
             idx = pos - lo
-            leaves = pack_leaves(voxels.mrgb)
+            leaves = _quantize_leaves(pack_leaves(voxels.mrgb))
             # Later duplicates win, like repeated octree insertion
             # overwriting the same leaf slot.
             values[idx[:, 0], idx[:, 1], idx[:, 2]] = leaves
@@ -88,6 +96,95 @@ class GridScene:
 
         mips = _build_mips(values != 0, num_mips)
         return GridScene(values=values, origin=origin, mips=mips)
+
+    def device_tables(self) -> Dict[str, np.ndarray]:
+        """Build the Pallas-kernel tables.
+
+        Returns:
+          packed_idx: (rows, 128) int32 — the palette-index grid with 3
+            consecutive-z 10-bit indices packed per word (0 = empty), flat
+            word address ``(x * Y + y) * ceil(Z/3) + z // 3``, padded to a
+            whole number of 128-word rows.
+          palette: (8, 128) int32 — slot -> packed leaf value (slot 0 = 0).
+          zw: number of packed words along z (= ceil(Z/3)).
+        """
+        x_dim, y_dim, z_dim = self.values.shape
+        zw = -(-z_dim // 3)
+        zp = zw * 3
+        vals = self.values
+        if zp != z_dim:
+            vals = np.concatenate(
+                [vals, np.zeros((x_dim, y_dim, zp - z_dim), np.int32)],
+                axis=2,
+            )
+
+        uniq = np.unique(vals)
+        uniq = uniq[uniq != 0]
+        assert len(uniq) < PALETTE_CAPACITY, "scene not palettized"
+        palette = np.zeros(PALETTE_CAPACITY, np.int32)
+        palette[1 : 1 + len(uniq)] = uniq
+        # values -> slots via searchsorted over the sorted unique values
+        flat = vals.reshape(-1)
+        slots = np.zeros(flat.shape, np.int64)
+        nz = flat != 0
+        slots[nz] = np.searchsorted(uniq, flat[nz]) + 1
+
+        idx3 = slots.reshape(x_dim, y_dim, zw, 3)
+        words = (
+            (idx3 << np.array([0, 10, 20], np.int64)).sum(axis=3)
+        ).astype(np.uint32)
+        flat_words = words.reshape(-1).view(np.int32)
+        n_rows = max(1, _ceil_multiple(len(flat_words), 128) // 128)
+        padded = np.zeros(n_rows * 128, np.int32)
+        padded[: len(flat_words)] = flat_words
+
+        # L2 empty-space-skip level: one occupancy bit per 8^3-cell
+        # block, 32 bits packed along z per word.
+        block = self.mips[3] if len(self.mips) > 3 else (self.values != 0)
+        bx, by, bz = block.shape
+        bzw = -(-bz // 32)
+        bits = np.zeros((bx, by, bzw * 32), bool)
+        bits[:, :, :bz] = block
+        l2_words = np.zeros((bx, by, bzw), np.uint32)
+        for b in range(32):
+            l2_words |= bits[:, :, b::32].astype(np.uint32) << np.uint32(b)
+        l2_flat = l2_words.reshape(-1).view(np.int32)
+        l2_rows = max(1, _ceil_multiple(len(l2_flat), 128) // 128)
+        l2_padded = np.zeros(l2_rows * 128, np.int32)
+        l2_padded[: len(l2_flat)] = l2_flat
+
+        return {
+            "packed_idx": padded.reshape(n_rows, 128),
+            "palette": palette.reshape(8, 128),
+            "zw": zw,
+            "l2": l2_padded.reshape(l2_rows, 128),
+            "l2_dims": (bx, by, bz),
+            "l2_zw": bzw,
+        }
+
+
+def _quantize_leaves(leaves: np.ndarray) -> np.ndarray:
+    """Map leaf values into at most PALETTE_CAPACITY - 1 distinct values.
+
+    Values are hashed into slots deterministically; within a colliding
+    slot the first-seen value wins.  Lossless whenever the scene already
+    has < PALETTE_CAPACITY distinct leaves (every .vox scene: <= 512).
+    """
+    uniq = np.unique(leaves)
+    if len(uniq) < PALETTE_CAPACITY:
+        return leaves
+    cap = PALETTE_CAPACITY - 1
+    # deterministic integer hash (Knuth multiplicative)
+    h = (uniq.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(cap)
+    # first unique value in each bucket is the bucket's representative
+    order = np.argsort(h, kind="stable")
+    h_sorted = h[order]
+    first = np.ones(len(uniq), bool)
+    first[1:] = h_sorted[1:] != h_sorted[:-1]
+    rep_sorted = uniq[order][np.maximum.accumulate(np.where(first, np.arange(len(uniq)), 0))]
+    rep = np.empty(len(uniq), leaves.dtype)
+    rep[order] = rep_sorted
+    return rep[np.searchsorted(uniq, leaves)]
 
 
 def _build_mips(occ0: np.ndarray, num_mips: int) -> List[np.ndarray]:
