@@ -1,0 +1,163 @@
+import dataclasses
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from voxtracer.app.camera_paths import PATHS
+from voxtracer.app.input import FlyController
+from voxtracer.engine import snapshot
+from voxtracer.engine.camera import Camera
+from voxtracer.engine.pipeline import Renderer
+from voxtracer.engine.reload import KernelWatcher
+from voxtracer.scene import GridScene, VoxelList
+
+
+def _tiny_scene():
+    vl = VoxelList(
+        pos=np.array([[0, 0, 0], [1, 1, 1]], dtype=np.int16),
+        mrgb=np.array([[0, 200, 0, 0], [0, 0, 200, 0]], dtype=np.uint8),
+    )
+    return GridScene.from_voxels(vl)
+
+
+def test_fly_controller_moves_like_reference():
+    c = FlyController()
+    c.key_down("w")
+    cam = c.update(1.0)
+    # 5 units/s along +z (default view direction)
+    np.testing.assert_allclose(cam.position, [0, 0, 3.0], atol=1e-9)
+    c.key_down("shift")
+    cam = c.update(1.0)
+    np.testing.assert_allclose(cam.position, [0, 0, 53.0], atol=1e-9)
+    c.key_up("shift")
+    c.key_down("ctrl")
+    cam = c.update(1.0)
+    np.testing.assert_allclose(cam.position, [0, 0, 53.5], atol=1e-9)
+    assert c.take_moved()
+    assert not c.take_moved()
+
+
+def test_fly_controller_look_and_grab():
+    c = FlyController()
+    c.mouse_delta(100, 0)  # ignored: cursor not grabbed
+    assert c.yaw == 0
+    c.key_down("tab")
+    c.mouse_delta(100, -50)
+    assert abs(c.yaw - 0.1) < 1e-12
+    assert abs(c.pitch - 0.05) < 1e-12
+    c.key_down("escape")
+    assert c.exit_requested
+
+
+def test_camera_paths_return_cameras():
+    scene = _tiny_scene()
+    for name, factory in PATHS.items():
+        path = factory(scene)
+        for t in (0.0, 0.5, 3.7):
+            cam = path(t)
+            assert isinstance(cam, Camera)
+            assert np.isfinite(cam.position).all()
+            assert np.linalg.norm(cam.direction) > 0
+
+
+def test_snapshot_roundtrip():
+    scene = _tiny_scene()
+    r = Renderer(scene=scene, height=16, width=16, trace_impl="xla")
+    cam = Camera(position=np.array([0.3, 0.2, -2.0]))
+    r.render(cam)
+    r.render(cam)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "snap.npz")
+        snapshot.save(path, r, cam)
+
+        r2 = Renderer(scene=scene, height=16, width=16, trace_impl="xla")
+        cam2 = snapshot.load(path, r2)
+        np.testing.assert_allclose(cam2.position, cam.position)
+        assert r2.frame_number == r.frame_number
+        for k in r.state:
+            np.testing.assert_array_equal(
+                np.asarray(r.state[k]), np.asarray(r2.state[k])
+            )
+        # resumed render continues the accumulation identically
+        o1 = r.render(cam)
+        o2 = r2.render(cam2)
+        np.testing.assert_array_equal(
+            np.asarray(o1["image"]), np.asarray(o2["image"])
+        )
+
+
+def test_snapshot_resolution_mismatch():
+    scene = _tiny_scene()
+    r = Renderer(scene=scene, height=16, width=16, trace_impl="xla")
+    cam = Camera()
+    r.render(cam)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "snap.npz")
+        snapshot.save(path, r, cam)
+        r2 = Renderer(scene=scene, height=32, width=16, trace_impl="xla")
+        with pytest.raises(ValueError, match="resolution"):
+            snapshot.load(path, r2)
+
+
+def test_kernel_watcher_detects_change(tmp_path, monkeypatch):
+    import importlib, sys, time
+
+    f = tmp_path / "voxtracer_fake_kernel.py"
+    f.write_text("VALUE = 1\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    importlib.import_module("voxtracer_fake_kernel")
+    try:
+        calls = []
+        w = KernelWatcher(
+            on_reload=lambda: calls.append(1),
+            modules=["voxtracer_fake_kernel"],
+            debounce=0.0,
+        )
+        assert not w.poll()
+        time.sleep(0.01)
+        f.write_text("VALUE = 2\n")
+        os.utime(f, (time.time() + 5, time.time() + 5))
+        assert w.poll()
+        assert calls == [1]
+        assert sys.modules["voxtracer_fake_kernel"].VALUE == 2
+    finally:
+        del sys.modules["voxtracer_fake_kernel"]
+
+
+def test_viewer_halfblock():
+    from voxtracer.app.viewer import _halfblock_frame
+
+    img = np.zeros((4, 2, 3), np.uint8)
+    img[0] = [255, 0, 0]
+    img[1] = [0, 255, 0]
+    s = _halfblock_frame(img)
+    lines = s.split("\n")
+    assert len(lines) == 2
+    assert "38;2;255;0;0" in lines[0] and "48;2;0;255;0" in lines[0]
+
+
+def test_cli_headless_render(tmp_path):
+    from voxtracer.app import cli
+
+    out = tmp_path / "out.png"
+    rc = cli.main(
+        [
+            "--scene",
+            "3x3x3",
+            "--size",
+            "16x16",
+            "--frames",
+            "2",
+            "--noise",
+            "white",
+            "--trace-impl",
+            "xla",
+            "-o",
+            str(out),
+        ]
+    )
+    assert rc == 0
+    data = out.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"

@@ -1,0 +1,210 @@
+"""BASELINE measurement harness: the five driver-defined configs.
+
+Runs each config from BASELINE.md and prints one JSON line per metric.
+Config 1 is the correctness gate (TPU kernel vs the NumPy oracle);
+configs 2-5 are throughput.  ``--quick`` limits frame counts; ``--skip``
+drops configs (e.g. the 4K stretch).
+
+Run: ``python -m voxtracer.app.bench [--quick] [--skip 5]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from ..engine.camera import Camera
+from ..engine.pipeline import Renderer
+from ..scene import GridScene, voxels_from_vox
+from ..io import vox as voxio
+from . import camera_paths
+from .cli import load_scene
+
+
+def _emit(**kv):
+    print(json.dumps(kv), flush=True)
+
+
+def _time_frames(renderer, cameras):
+    out = renderer.render(cameras[0])  # warm/compile
+    np.asarray(out["image"])
+    t0 = time.perf_counter()
+    for cam in cameras[1:]:
+        out = renderer.render(cam)
+    np.asarray(out["image"])
+    return (time.perf_counter() - t0) / max(1, len(cameras) - 1), out
+
+
+def config1_oracle_match(quick=False):
+    """8x8x8.vox, 256x256, 1 spp, static camera: TPU kernel vs oracle."""
+    from ..engine.params import RenderParams
+    from ..ops import noise as noise_op
+    from ..ops import trace_pallas
+
+    scene = load_scene("8x8x8")
+    size = 128 if quick else 256
+    cam = Camera(
+        position=np.array([2.0, 3.0, -4.0]),
+        direction=np.array([0.2, 0.1, 1.0]),
+    )
+    params = RenderParams()
+    right, up, forward = cam.axis_scaled(size, size)
+    buf = noise_op.white_noise_buffer(seed=7)
+    planes = noise_op.noise_planes(buf, 1, size, size)
+
+    from ..oracle import renderer as oracle
+
+    o = oracle.render_sample(
+        scene.values,
+        scene.origin.astype(np.int64),
+        np.asarray(cam.position),
+        right,
+        up,
+        forward,
+        params,
+        planes,
+        size,
+        size,
+    )
+
+    import jax.numpy as jnp
+
+    t = scene.device_tables()
+    cam_arr = np.stack([cam.position, right, up, forward]).astype(np.float32)
+    x = trace_pallas.render_sample(
+        jnp.asarray(t["packed_idx"]),
+        jnp.asarray(t["l2"]),
+        jnp.asarray(t["palette"]),
+        jnp.asarray(trace_pallas.pack_params(cam_arr, params)),
+        jnp.asarray(planes),
+        dims=scene.values.shape,
+        zw=t["zw"],
+        origin=tuple(int(v) for v in scene.origin),
+        n_rows=t["packed_idx"].shape[0],
+        l2_dims=t["l2_dims"],
+        l2_zw=t["l2_zw"],
+        l2_rows=t["l2"].shape[0],
+        height=size,
+        width=size,
+    )
+    x = {k: np.asarray(v) for k, v in x.items()}
+
+    agree = float((o["node"] == x["node"]).mean())
+    err = (x["color"] - o["color"]).astype(np.float64)
+    mse = float(np.mean(err**2))
+    psnr = 10 * np.log10(max(1.0, float(o["color"].max())) ** 2 / max(mse, 1e-12))
+    _emit(
+        config=1,
+        name="8x8x8 oracle match",
+        resolution=f"{size}x{size}",
+        node_agreement=round(agree, 6),
+        color_psnr_db=round(psnr, 2),
+    )
+
+
+def config2_menger(quick=False):
+    scene = load_scene("menger")
+    frames = 4 if quick else 10
+    r = Renderer(scene=scene, height=720, width=1280)
+    cam = Camera(
+        position=np.array([36.0, 34.0, -5.0]),
+        direction=np.array([-16.0, -14.0, 25.0]),
+    )
+    dt, _ = _time_frames(r, [cam] * (frames + 1))
+    rays = 1280 * 720 * 6  # 1 primary + up to 3 sun + 2 bounce per pixel
+    _emit(
+        config=2,
+        name="menger 720p progressive",
+        ms_per_frame=round(dt * 1e3, 1),
+        fps=round(1 / dt, 2),
+        mrays_per_s_upper=round(rays / dt / 1e6, 1),
+    )
+
+
+def config3_knight_temporal(quick=False):
+    scene = load_scene("chr_knight")
+    frames = 4 if quick else 10
+    r = Renderer(scene=scene, height=720, width=1280)
+    path = camera_paths.orbit(scene)
+    cams = [path(i / 30.0) for i in range(frames + 1)]
+    dt, out = _time_frames(r, cams)
+    blend = np.asarray(r.state["accum_blend"])
+    _emit(
+        config=3,
+        name="chr_knight 720p temporal reprojection (orbit)",
+        ms_per_frame=round(dt * 1e3, 1),
+        fps=round(1 / dt, 2),
+        reprojection_accepted=round(float((blend < 1.0).mean()), 3),
+    )
+
+
+def config4_monu9_full(quick=False):
+    scene = load_scene("monu9")
+    frames = 3 if quick else 8
+    r = Renderer(scene=scene, height=1080, width=1920, denoise_radius=2)
+    path = camera_paths.dolly(scene)
+    cams = [path(i / 30.0) for i in range(frames + 1)]
+    dt, _ = _time_frames(r, cams)
+    _emit(
+        config=4,
+        name="monu9 1080p full pipeline (trace+temporal+denoise r=2)",
+        ms_per_frame=round(dt * 1e3, 1),
+        fps=round(1 / dt, 2),
+    )
+
+
+def config5_castle_4k(quick=False):
+    scene = load_scene("castle")
+    frames = 2 if quick else 4
+    r = Renderer(scene=scene, height=2160, width=3840)
+    cam = camera_paths.static(scene)(0.0)
+    cams = []
+    for i in range(frames + 1):
+        # animated sun: yaw sweeps while the camera holds still
+        import dataclasses
+
+        r.render_params = dataclasses.replace(
+            r.render_params, sun_yaw=1.32 + 0.05 * i
+        )
+        cams.append(cam)
+    dt, _ = _time_frames(r, cams)
+    _emit(
+        config=5,
+        name="castle 4K animated sun (stretch)",
+        ms_per_frame=round(dt * 1e3, 1),
+        fps=round(1 / dt, 3),
+    )
+
+
+CONFIGS = {
+    1: config1_oracle_match,
+    2: config2_menger,
+    3: config3_knight_temporal,
+    4: config4_monu9_full,
+    5: config5_castle_4k,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--skip", type=int, nargs="*", default=[])
+    p.add_argument("--only", type=int, nargs="*", default=None)
+    args = p.parse_args(argv)
+    for idx, fn in CONFIGS.items():
+        if idx in args.skip or (args.only and idx not in args.only):
+            continue
+        try:
+            fn(quick=args.quick)
+        except Exception as e:  # keep measuring the rest
+            _emit(config=idx, error=str(e)[:200])
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
