@@ -66,7 +66,8 @@ def render_frame_impl(
     reproject: bool,
     trace_impl: str = "xla",
 ):
-    dims, origin, zw, n_rows, l2_dims, l2_zw, l2_rows, use_l2 = scene_meta
+    dims, origin, zw, n_rows, l2_dims, l2_zw, l2_rows, l2_cfg = scene_meta
+    use_l2, l2_shift = l2_cfg
     planes = noise_op.noise_planes(
         noise_buffer, frame_number, height, width, xp=jnp
     )
@@ -89,6 +90,7 @@ def render_frame_impl(
             height=height,
             width=width,
             use_l2=use_l2,
+            l2_shift=l2_shift,
         )
     else:
         gbuf = trace_xla.render_sample(

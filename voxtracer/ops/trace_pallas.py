@@ -150,7 +150,7 @@ def _norm_div3(x, y, z):
 
 def _make_traverse(
     dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows,
-    use_l2=True, serves_per_iter=2,
+    use_l2=True, l2_shift=3, serves_per_iter=2,
 ):
     """Build the in-kernel two-level DDA traversal closure.
 
@@ -257,9 +257,9 @@ def _make_traverse(
 
             # 2. skip-level occupancy for the 8^3 block
             if use_l2:
-                bx = cx >> 3
-                by = cy >> 3
-                bz = cz >> 3
+                bx = cx >> l2_shift
+                by = cy >> l2_shift
+                bz = cz >> l2_shift
                 a2 = (bx * BY + by) * l2_zw + (bz >> 5)
                 a2 = jnp.where(act, a2, 0)
                 need2 = act & (a2 != cached2)
@@ -282,7 +282,9 @@ def _make_traverse(
 
             if use_l2:
                 def bt_axis(b, og, sgn, o, inv):
-                    nb = (og + ((b + (sgn > 0)) << 3).astype(jnp.float32)) * CELL_SIZE
+                    nb = (
+                        og + ((b + (sgn > 0)) << l2_shift).astype(jnp.float32)
+                    ) * CELL_SIZE
                     return jnp.where(sgn != 0, (nb - o) * inv, inf)
 
                 btx = bt_axis(bx, float(oxi), sx, ox_, invx)
@@ -292,9 +294,9 @@ def _make_traverse(
                 bsx = (btx <= bty) & (btx <= btz)
                 bsy = (~bsx) & (bty <= btz)
                 bsz = (~bsx) & (~bsy)
-                jx = jnp.where(sx > 0, (bx + 1) << 3, (bx << 3) - 1)
-                jy = jnp.where(sy > 0, (by + 1) << 3, (by << 3) - 1)
-                jz = jnp.where(sz > 0, (bz + 1) << 3, (bz << 3) - 1)
+                jx = jnp.where(sx > 0, (bx + 1) << l2_shift, (bx << l2_shift) - 1)
+                jy = jnp.where(sy > 0, (by + 1) << l2_shift, (by << l2_shift) - 1)
+                jz = jnp.where(sz > 0, (bz + 1) << l2_shift, (bz << l2_shift) - 1)
                 fxc = cell_from_float(ox_, dx, bt, float(oxi))
                 fyc = cell_from_float(oy_, dy, bt, float(oyi))
                 fzc = cell_from_float(oz_, dz, bt, float(ozi))
@@ -464,10 +466,11 @@ def _make_traverse(
 
 def _make_kernel(
     dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows, use_l2,
-    max_bounces=MAX_BOUNCES, bounce_serves=12,
+    l2_shift=3, max_bounces=MAX_BOUNCES, bounce_serves=12,
 ):
     traverse = _make_traverse(
-        dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows, use_l2=use_l2
+        dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows,
+        use_l2=use_l2, l2_shift=l2_shift,
     )
 
     def kernel(
@@ -731,8 +734,8 @@ def _pad_to(x, m):
     jax.jit,
     static_argnames=(
         "dims", "zw", "origin", "n_rows", "l2_dims", "l2_zw", "l2_rows",
-        "height", "width", "interpret", "use_l2", "max_bounces",
-        "bounce_serves",
+        "height", "width", "interpret", "use_l2", "l2_shift",
+        "max_bounces", "bounce_serves",
     ),
 )
 def render_sample(
@@ -753,6 +756,7 @@ def render_sample(
     width: int,
     interpret: bool = False,
     use_l2: bool = True,
+    l2_shift: int = 3,
     max_bounces: int = MAX_BOUNCES,
     bounce_serves: int = 12,
 ) -> Dict[str, jnp.ndarray]:
@@ -769,7 +773,8 @@ def render_sample(
     grid = (hp // TILE_H, wp // TILE_W)
     kernel = _make_kernel(
         dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows, use_l2,
-        max_bounces=max_bounces, bounce_serves=bounce_serves,
+        l2_shift=l2_shift, max_bounces=max_bounces,
+        bounce_serves=bounce_serves,
     )
 
     plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)

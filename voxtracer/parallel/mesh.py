@@ -132,7 +132,6 @@ def scene_device_args(scene):
     import jax.numpy as jnp
 
     tables = scene.device_tables()
-    occupied_8 = float(scene.mips[3].mean()) if len(scene.mips) > 3 else 1.0
     meta = (
         tuple(int(d) for d in scene.values.shape),
         tuple(int(v) for v in scene.origin),
@@ -141,7 +140,7 @@ def scene_device_args(scene):
         tuple(int(d) for d in tables["l2_dims"]),
         int(tables["l2_zw"]),
         int(tables["l2"].shape[0]),
-        occupied_8 < 0.6,
+        (tables["l2_occupancy"] < 0.35, int(tables["l2_shift"])),
     )
     arrays = {
         "flat_grid": jnp.asarray(scene.values.reshape(-1)),

@@ -138,9 +138,21 @@ class GridScene:
         padded = np.zeros(n_rows * 128, np.int32)
         padded[: len(flat_words)] = flat_words
 
-        # L2 empty-space-skip level: one occupancy bit per 8^3-cell
-        # block, 32 bits packed along z per word.
-        block = self.mips[3] if len(self.mips) > 3 else (self.values != 0)
+        # Empty-space-skip level: one occupancy bit per (2^shift)^3-cell
+        # block, 32 bits packed along z per word.  The shift is chosen
+        # per scene: the largest block size that is still mostly empty
+        # skips the most cells per jump; dense-at-every-scale scenes
+        # disable the level entirely (use_l2 False downstream).
+        l2_shift = 3
+        for shift in (3, 2, 1):
+            if len(self.mips) > shift and float(self.mips[shift].mean()) < 0.35:
+                l2_shift = shift
+                break
+        block = (
+            self.mips[l2_shift]
+            if len(self.mips) > l2_shift
+            else (self.values != 0)
+        )
         bx, by, bz = block.shape
         bzw = -(-bz // 32)
         bits = np.zeros((bx, by, bzw * 32), bool)
@@ -160,6 +172,8 @@ class GridScene:
             "l2": l2_padded.reshape(l2_rows, 128),
             "l2_dims": (bx, by, bz),
             "l2_zw": bzw,
+            "l2_shift": l2_shift,
+            "l2_occupancy": float(block.mean()),
         }
 
 
