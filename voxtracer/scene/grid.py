@@ -86,13 +86,18 @@ class GridScene:
             dims = [
                 _ceil_multiple(int(h - l) + 1, pad) for l, h in zip(lo, hi)
             ]
-            values = np.zeros(dims, dtype=np.int32)
-            idx = pos - lo
             leaves = _quantize_leaves(pack_leaves(voxels.mrgb))
-            # Later duplicates win, like repeated octree insertion
-            # overwriting the same leaf slot.
-            values[idx[:, 0], idx[:, 1], idx[:, 2]] = leaves
             origin = lo.astype(np.int32)
+            # Later duplicates win, like repeated octree insertion
+            # overwriting the same leaf slot.  The native (C++) fill is
+            # used when built; the numpy path is bit-identical.
+            from .. import native
+
+            values = native.fill_grid(voxels.pos, leaves, origin, dims)
+            if values is None:
+                values = np.zeros(dims, dtype=np.int32)
+                idx = pos - lo
+                values[idx[:, 0], idx[:, 1], idx[:, 2]] = leaves
 
         mips = _build_mips(values != 0, num_mips)
         return GridScene(values=values, origin=origin, mips=mips)
@@ -108,32 +113,38 @@ class GridScene:
           palette: (8, 128) int32 — slot -> packed leaf value (slot 0 = 0).
           zw: number of packed words along z (= ceil(Z/3)).
         """
+        from .. import native
+
         x_dim, y_dim, z_dim = self.values.shape
         zw = -(-z_dim // 3)
-        zp = zw * 3
-        vals = self.values
-        if zp != z_dim:
-            vals = np.concatenate(
-                [vals, np.zeros((x_dim, y_dim, zp - z_dim), np.int32)],
-                axis=2,
-            )
 
-        uniq = np.unique(vals)
-        uniq = uniq[uniq != 0]
-        assert len(uniq) < PALETTE_CAPACITY, "scene not palettized"
-        palette = np.zeros(PALETTE_CAPACITY, np.int32)
-        palette[1 : 1 + len(uniq)] = uniq
-        # values -> slots via searchsorted over the sorted unique values
-        flat = vals.reshape(-1)
-        slots = np.zeros(flat.shape, np.int64)
-        nz = flat != 0
-        slots[nz] = np.searchsorted(uniq, flat[nz]) + 1
+        packed = native.pack_words(self.values, PALETTE_CAPACITY)
+        if packed is not None:
+            flat_words, palette, zw = packed
+        else:
+            zp = zw * 3
+            vals = self.values
+            if zp != z_dim:
+                vals = np.concatenate(
+                    [vals, np.zeros((x_dim, y_dim, zp - z_dim), np.int32)],
+                    axis=2,
+                )
+            uniq = np.unique(vals)
+            uniq = uniq[uniq != 0]
+            assert len(uniq) < PALETTE_CAPACITY, "scene not palettized"
+            palette = np.zeros(PALETTE_CAPACITY, np.int32)
+            palette[1 : 1 + len(uniq)] = uniq
+            # values -> slots via searchsorted over sorted unique values
+            flat = vals.reshape(-1)
+            slots = np.zeros(flat.shape, np.int64)
+            nz = flat != 0
+            slots[nz] = np.searchsorted(uniq, flat[nz]) + 1
 
-        idx3 = slots.reshape(x_dim, y_dim, zw, 3)
-        words = (
-            (idx3 << np.array([0, 10, 20], np.int64)).sum(axis=3)
-        ).astype(np.uint32)
-        flat_words = words.reshape(-1).view(np.int32)
+            idx3 = slots.reshape(x_dim, y_dim, zw, 3)
+            words = (
+                (idx3 << np.array([0, 10, 20], np.int64)).sum(axis=3)
+            ).astype(np.uint32)
+            flat_words = words.reshape(-1).view(np.int32)
         n_rows = max(1, _ceil_multiple(len(flat_words), 128) // 128)
         padded = np.zeros(n_rows * 128, np.int32)
         padded[: len(flat_words)] = flat_words
@@ -155,12 +166,16 @@ class GridScene:
         )
         bx, by, bz = block.shape
         bzw = -(-bz // 32)
-        bits = np.zeros((bx, by, bzw * 32), bool)
-        bits[:, :, :bz] = block
-        l2_words = np.zeros((bx, by, bzw), np.uint32)
-        for b in range(32):
-            l2_words |= bits[:, :, b::32].astype(np.uint32) << np.uint32(b)
-        l2_flat = l2_words.reshape(-1).view(np.int32)
+        l2_flat = native.block_bits(self.values, l2_shift)
+        if l2_flat is None:
+            bits = np.zeros((bx, by, bzw * 32), bool)
+            bits[:, :, :bz] = block
+            l2_words = np.zeros((bx, by, bzw), np.uint32)
+            for b in range(32):
+                l2_words |= (
+                    bits[:, :, b::32].astype(np.uint32) << np.uint32(b)
+                )
+            l2_flat = l2_words.reshape(-1).view(np.int32)
         l2_rows = max(1, _ceil_multiple(len(l2_flat), 128) // 128)
         l2_padded = np.zeros(l2_rows * 128, np.int32)
         l2_padded[: len(l2_flat)] = l2_flat
