@@ -150,7 +150,7 @@ def _norm_div3(x, y, z):
 
 def _make_traverse(
     dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows,
-    use_l2=True, l2_shift=3, serves_per_iter=2,
+    use_l2=True, l2_shift=3,
 ):
     """Build the in-kernel two-level DDA traversal closure.
 
@@ -170,7 +170,7 @@ def _make_traverse(
         (ozi + Z) * CELL_SIZE,
     )
 
-    def traverse(table_ref, l2_ref, o3, d3, mask=None, serves=None):
+    def traverse(table_ref, l2_ref, o3, d3, mask=None):
         """Returns (hit i32, t, slot i32, fused, normal tuple).
 
         ``mask`` (bool) gates which lanes traverse at all — dead paths
@@ -325,19 +325,28 @@ def _make_traverse(
                 return jnp.logical_and(k < 256, unserved.any())
 
             def serve_body(ss):
-                # 4 serve rounds per while iteration: loop-control
-                # overhead on TPU is microseconds, so amortize it
+                # Window serve: one 8-row dynamic slice anchored at the
+                # minimum pending row satisfies every lane whose row
+                # falls in [r_min, r_min+8) — spatial locality makes
+                # pending rows cluster, so most rounds serve all lanes.
+                # Two windows per while round to amortize the
+                # microsecond-scale TPU loop-control overhead.
                 k, word_, cached_ = ss
-                for _ in range(4):
+                for _ in range(2):
                     needf = (fine_i == 1) & (waddr != cached_)
                     r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
-                    r_safe = jnp.minimum(r_min, n_rows - 1)
-                    row = table_ref[pl.ds(r_safe, 1), :]
-                    row_b = jnp.broadcast_to(row, waddr.shape)
-                    g = jnp.take_along_axis(row_b, waddr & 127, axis=1)
-                    serve = needf & (rows == r_min)
-                    word_ = jnp.where(serve, g, word_)
-                    cached_ = jnp.where(serve, waddr, cached_)
+                    r_base = jnp.clip(r_min, 0, n_rows - 8)
+                    window = table_ref[pl.ds(r_base, 8), :]
+                    off = rows - r_base
+                    in_win = needf & (off >= 0) & (off < 8)
+                    for s8 in range(8):
+                        row_b = jnp.broadcast_to(
+                            window[s8 : s8 + 1, :], waddr.shape
+                        )
+                        g = jnp.take_along_axis(row_b, waddr & 127, axis=1)
+                        serve = in_win & (off == s8)
+                        word_ = jnp.where(serve, g, word_)
+                        cached_ = jnp.where(serve, waddr, cached_)
                 return k + 1, word_, cached_
 
             _, word, cached = jax.lax.while_loop(
@@ -466,7 +475,7 @@ def _make_traverse(
 
 def _make_kernel(
     dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows, use_l2,
-    l2_shift=3, max_bounces=MAX_BOUNCES, bounce_serves=12,
+    l2_shift=3, max_bounces=MAX_BOUNCES,
 ):
     traverse = _make_traverse(
         dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows,
@@ -562,7 +571,6 @@ def _make_kernel(
             hit_i, t, slot, fused, (nx, ny, nz), t_iters = traverse(
                 table_ref, l2_ref, (rox, roy, roz), (rdx, rdy, rdz),
                 mask=(alive == 1),
-                serves=2 if bounce == 0 else bounce_serves,
             )
             iter_counts.append(t_iters)
             hit = (hit_i == 1) & (alive == 1)
@@ -623,7 +631,6 @@ def _make_kernel(
             obst_i, _, _, _, _, s_iters = traverse(
                 table_ref, l2_ref, (sox, soy, soz), (shx, shy, shz),
                 mask=hit & (~specular) & (sun_strength > 0.0),
-                serves=2 if bounce == 0 else bounce_serves,
             )
             iter_counts.append(s_iters)
             cos_term = jnp.maximum(0.0, _dot3(nx, ny, nz, shx, shy, shz))
@@ -735,7 +742,7 @@ def _pad_to(x, m):
     static_argnames=(
         "dims", "zw", "origin", "n_rows", "l2_dims", "l2_zw", "l2_rows",
         "height", "width", "interpret", "use_l2", "l2_shift",
-        "max_bounces", "bounce_serves",
+        "max_bounces",
     ),
 )
 def render_sample(
@@ -758,7 +765,6 @@ def render_sample(
     use_l2: bool = True,
     l2_shift: int = 3,
     max_bounces: int = MAX_BOUNCES,
-    bounce_serves: int = 12,
 ) -> Dict[str, jnp.ndarray]:
     """Trace one sample with the Pallas kernel; same output dict as
     :func:`voxtracer.ops.trace_xla.render_sample` (H, W shapes)."""
@@ -774,7 +780,6 @@ def render_sample(
     kernel = _make_kernel(
         dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows, use_l2,
         l2_shift=l2_shift, max_bounces=max_bounces,
-        bounce_serves=bounce_serves,
     )
 
     plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
