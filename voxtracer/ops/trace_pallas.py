@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.grid import CELL_SIZE
 
-TILE_H = 128
+TILE_H = 32
 TILE_W = 128
 MAX_BOUNCES = 3
 RANDS_PER_BOUNCE = 8
