@@ -145,17 +145,64 @@ def config3_knight_temporal(quick=False):
 
 
 def config4_monu9_full(quick=False):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from ..engine.params import DenoiseParams, TemporalParams
+    from ..ops import denoise as denoise_op
+    from ..ops import temporal as temporal_op
+    from ..ops import tonemap as tonemap_op
+
     scene = load_scene("monu9")
     frames = 3 if quick else 8
-    r = Renderer(scene=scene, height=1080, width=1920, denoise_radius=2)
+    h, w = 1080, 1920
+    r = Renderer(scene=scene, height=h, width=w, denoise_radius=2)
     path = camera_paths.dolly(scene)
     cams = [path(i / 30.0) for i in range(frames + 1)]
-    dt, _ = _time_frames(r, cams)
+    dt, out = _time_frames(r, cams)
+
+    # per-stage device timings (the reference has no GPU timestamps at
+    # all — SURVEY §5; these run each stage as its own jit)
+    right, up, forward = cams[-1].axis_scaled(w, h)
+    cam_t = tuple(
+        jnp.asarray(v, jnp.float32)
+        for v in (cams[-1].position, right, up, forward)
+    )
+    gN = jnp.asarray(out["normal"])
+    gD = jnp.asarray(out["depth"])
+    gA = jnp.asarray(out["albedo"])
+    gC = jnp.asarray(out["trace_color"])
+    gM = jnp.asarray(out["node"])
+
+    def _t(fn, *args, n=5):
+        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            res = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(res)[0])
+        return (time.perf_counter() - t0) / n
+
+    den = jax.jit(partial(denoise_op.denoise, radius=2))
+    t_denoise = _t(den, gC, gN, gD, gA, gM, cam_t, DenoiseParams())
+    tmp = jax.jit(partial(temporal_op.temporal_blend, reproject=True))
+    t_temporal = _t(
+        tmp, gC, gN, gD, gC, gD * 0 + 0.5, gD, cam_t, cam_t,
+        TemporalParams(), jnp.asarray(True),
+    )
+    t_tone = _t(jax.jit(tonemap_op.to_u8), gC)
+
     _emit(
         config=4,
         name="monu9 1080p full pipeline (trace+temporal+denoise r=2)",
         ms_per_frame=round(dt * 1e3, 1),
         fps=round(1 / dt, 2),
+        stage_ms={
+            "temporal_reproject": round(t_temporal * 1e3, 2),
+            "denoise_r2": round(t_denoise * 1e3, 2),
+            "tonemap_u8": round(t_tone * 1e3, 2),
+            "trace_est": round((dt - t_temporal - t_denoise - t_tone) * 1e3, 2),
+        },
     )
 
 

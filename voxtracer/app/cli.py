@@ -139,6 +139,9 @@ def build_parser() -> argparse.ArgumentParser:
                       help="hot-reload kernel modules on source change")
     io_g.add_argument("--stats", action="store_true",
                       help="print per-stage timing at the end")
+    io_g.add_argument("--profile", default=None, metavar="DIR",
+                      help="capture a jax.profiler (perfetto) trace of the "
+                           "render loop into DIR")
     return p
 
 
@@ -231,6 +234,12 @@ def main(argv=None) -> int:
     timer = StageTimer()
     out = None
     camera = fixed_cam
+    profiler_ctx = None
+    if args.profile:
+        import jax
+
+        os.makedirs(args.profile, exist_ok=True)
+        jax.profiler.start_trace(args.profile)
     t_start = time.perf_counter()
     for i in range(args.frames):
         if watcher is not None:
@@ -249,6 +258,11 @@ def main(argv=None) -> int:
                 np.asarray(out["image"]),
             )
     wall = time.perf_counter() - t_start
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        log.info("profiler trace written to %s", args.profile)
 
     write_png(args.output, np.asarray(out["image"]))
     print(

@@ -68,3 +68,10 @@ class DenoiseParams:
 
 
 DENOISE_RADIUS_DEFAULT = 0  # src/context.rs:316-325
+
+
+# Note on the reference's PointLight uniform (src/context.rs:527-534):
+# it is only consumed by the legacy Whitted-style fragment shader
+# (shaders/basic.frag), which no pipeline ever dispatches — the loaded
+# display shaders are basic.vert + display.frag (src/context.rs:1364).
+# It is therefore vestigial and intentionally not part of RenderParams.
