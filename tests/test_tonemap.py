@@ -11,8 +11,8 @@ def test_srgb_reference_points():
     assert y[0] == 0.0
     np.testing.assert_allclose(y[1], 12.92 * 0.0031308, rtol=1e-6)
     np.testing.assert_allclose(y[2], 1.055 * 0.5 ** (1 / 2.4) - 0.055, rtol=1e-6)
-    assert y[3] == 1.0
-    assert y[4] == 1.0  # clamped
+    np.testing.assert_allclose(y[3], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(y[4], 1.0, rtol=1e-6)  # clamped
     assert y[5] == 0.0  # clamped
 
 
