@@ -1,0 +1,56 @@
+"""Pallas denoiser vs the XLA reference implementation (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+from voxtracer.engine.camera import Camera
+from voxtracer.engine.params import DenoiseParams
+from voxtracer.ops import denoise as denoise_xla
+from voxtracer.ops import denoise_pallas
+
+
+def test_pallas_denoise_matches_xla():
+    h, w = 64, 128
+    rng = np.random.default_rng(0)
+    colors = jnp.asarray(rng.random((h, w, 3), np.float32))
+    n = rng.standard_normal((h, w, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    normal = jnp.asarray(n)
+    depth = jnp.asarray(rng.random((h, w), np.float32) * 10 + 1)
+    albedo = jnp.asarray(rng.random((h, w, 3), np.float32))
+    material = jnp.asarray((rng.integers(0, 3, (h, w)) << 24).astype(np.int32))
+    cam_o = Camera()
+    r_, u_, f_ = cam_o.axis_scaled(w, h)
+    cam = tuple(
+        jnp.asarray(v, jnp.float32) for v in (cam_o.position, r_, u_, f_)
+    )
+    params = DenoiseParams()
+
+    ref = np.asarray(
+        jax.jit(partial(denoise_xla.denoise, radius=2))(
+            colors, normal, depth, albedo, material, cam, params
+        )
+    )
+    got = np.asarray(
+        denoise_pallas.denoise(
+            colors, normal, depth, albedo, material, cam, params,
+            radius=2, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    # radius 0: pure albedo modulation on both paths
+    ref0 = np.asarray(
+        jax.jit(partial(denoise_xla.denoise, radius=0))(
+            colors, normal, depth, albedo, material, cam, params
+        )
+    )
+    got0 = np.asarray(
+        denoise_pallas.denoise(
+            colors, normal, depth, albedo, material, cam, params,
+            radius=0, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got0, ref0, atol=1e-6)

@@ -23,17 +23,19 @@ import jax.numpy as jnp
 from .trace_xla import _normalize
 
 
-def _shift2d(arr: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift so result[y, x] = arr[y + dy, x + dx], zero-padded."""
-    pad_y = (max(0, -dy), max(0, dy))
-    pad_x = (max(0, -dx), max(0, dx))
-    pad = [pad_y, pad_x] + [(0, 0)] * (arr.ndim - 2)
-    h, w = arr.shape[:2]
-    padded = jnp.pad(arr, pad)
-    return padded[
-        pad_y[0] + dy : pad_y[0] + dy + h,
-        pad_x[0] + dx : pad_x[0] + dx + w,
-    ]
+def _pad2d(arr: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Zero-pad the two leading (spatial) dims by r on every side.
+
+    Padding once and slicing per tap keeps the stencil loop fusable;
+    padding inside the tap loop forced 2*(2r+1)^2 full-image copies
+    through HBM."""
+    pad = [(r, r), (r, r)] + [(0, 0)] * (arr.ndim - 2)
+    return jnp.pad(arr, pad)
+
+
+def _tap(padded: jnp.ndarray, r: int, dy: int, dx: int, h: int, w: int):
+    """padded[r+dy : r+dy+h, r+dx : r+dx+w] — result[y,x] = arr[y+dy, x+dx]."""
+    return padded[r + dy : r + dy + h, r + dx : r + dx + w]
 
 
 def denoise(
@@ -67,13 +69,18 @@ def denoise(
         valid = jnp.ones_like(depth, dtype=bool)
         norm_sum = jnp.zeros_like(depth)
         color_sum = jnp.zeros_like(colors)
+        p_color = _pad2d(colors, radius)
+        p_normal = _pad2d(normal, radius)
+        p_logd = _pad2d(log_depth, radius)
+        p_mat = _pad2d(mat_id, radius)
+        p_valid = _pad2d(valid, radius)
         for dy in range(-radius, radius + 1):
             for dx in range(-radius, radius + 1):
-                w_color = _shift2d(colors, dy, dx)
-                w_normal = _shift2d(normal, dy, dx)
-                w_logd = _shift2d(log_depth, dy, dx)
-                w_mat = _shift2d(mat_id, dy, dx)
-                w_valid = _shift2d(valid, dy, dx)
+                w_color = _tap(p_color, radius, dy, dx, height, width)
+                w_normal = _tap(p_normal, radius, dy, dx, height, width)
+                w_logd = _tap(p_logd, radius, dy, dx, height, width)
+                w_mat = _tap(p_mat, radius, dy, dx, height, width)
+                w_valid = _tap(p_valid, radius, dy, dx, height, width)
 
                 cd = colors - w_color
                 nd = normal - w_normal
