@@ -114,7 +114,17 @@ def temporal_blend(
         )
         px_f = tex_x * width
         py_f = tex_y * height
-        old_nd = _bilinear(old_depth[..., None], px_f, py_f)[..., 0]
+        # one 5-channel history fetch: rgb + blending + depth share the
+        # same 4 bilinear taps (gathers are expensive on TPU)
+        hist5 = _bilinear(
+            jnp.concatenate(
+                [old_color, old_blend[..., None], old_depth[..., None]],
+                axis=-1,
+            ),
+            px_f,
+            py_f,
+        )
+        old_nd = hist5[..., 4]
         # Old ray reconstruction quantizes to the pixel lattice
         # (temporal.comp:99-103); int() truncates toward zero.
         qx = jnp.trunc(sx + 0.5)
@@ -137,12 +147,7 @@ def temporal_blend(
     same_position = dist < bias * params.blending_distance_cutoff * depth
 
     if reproject:
-        hist = _bilinear(
-            jnp.concatenate([old_color, old_blend[..., None]], axis=-1),
-            px_f,
-            py_f,
-        )
-        hist_color, hist_blend = hist[..., :3], hist[..., 3]
+        hist_color, hist_blend = hist5[..., :3], hist5[..., 3]
     else:
         hist_color, hist_blend = old_color, old_blend
 
