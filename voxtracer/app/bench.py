@@ -197,11 +197,10 @@ def config4_monu9_full(quick=False):
         name="monu9 1080p full pipeline (trace+temporal+denoise r=2)",
         ms_per_frame=round(dt * 1e3, 1),
         fps=round(1 / dt, 2),
-        stage_ms={
+        standalone_stage_ms_incl_dispatch={
             "temporal_reproject": round(t_temporal * 1e3, 2),
             "denoise_r2": round(t_denoise * 1e3, 2),
             "tonemap_u8": round(t_tone * 1e3, 2),
-            "trace_est": round((dt - t_temporal - t_denoise - t_tone) * 1e3, 2),
         },
     )
 
