@@ -161,3 +161,16 @@ def test_cli_headless_render(tmp_path):
     assert rc == 0
     data = out.read_bytes()
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_renderer_falls_back_for_oversized_scene(monkeypatch):
+    """Scenes whose packed table exceeds the VMEM budget must route to
+    the XLA kernel instead of crashing the Pallas path."""
+    from voxtracer.engine import pipeline as pl_mod
+
+    monkeypatch.setattr(pl_mod, "PALLAS_TABLE_BUDGET_BYTES", 0)
+    r = Renderer(scene=_tiny_scene(), height=16, width=16,
+                 trace_impl="pallas")
+    assert r.trace_impl == "xla"
+    out = r.render(Camera(position=np.array([0.3, 0.2, -2.0])))
+    assert np.asarray(out["image"]).shape == (16, 16, 3)

@@ -27,6 +27,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import logging
+
+log = logging.getLogger("voxtracer.engine.pipeline")
+
+# Largest packed-index table the Pallas kernel keeps VMEM-resident
+# (probed: a v5e fits >110 MB; leave headroom for scratch + carries).
+PALLAS_TABLE_BUDGET_BYTES = 96 * 1024 * 1024
+
 from ..ops import denoise as denoise_op
 from ..ops import noise as noise_op
 from ..ops import temporal as temporal_op
@@ -203,6 +211,15 @@ class Renderer:
 
         self.scene = scene
         self._scene_meta, self._scene_arrays = scene_device_args(scene)
+        table_bytes = self._scene_arrays["packed_idx"].size * 4
+        if self.trace_impl == "pallas" and table_bytes > PALLAS_TABLE_BUDGET_BYTES:
+            log.warning(
+                "scene index table (%.0f MB) exceeds the VMEM budget "
+                "(%.0f MB); falling back to the XLA trace kernel",
+                table_bytes / 2**20,
+                PALLAS_TABLE_BUDGET_BYTES / 2**20,
+            )
+            self.trace_impl = "xla"
 
     def set_scene(self, scene: GridScene):
         """Swap scenes and restart accumulation (src/context.rs:1406-1424)."""
