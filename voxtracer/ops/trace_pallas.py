@@ -262,15 +262,34 @@ def _make_traverse(
                 bz = cz >> l2_shift
                 a2 = (bx * BY + by) * l2_zw + (bz >> 5)
                 a2 = jnp.where(act, a2, 0)
-                need2 = act & (a2 != cached2)
                 rows2 = a2 >> 7
-                r2_min = jnp.min(jnp.where(need2, rows2, BIG_I32))
-                r2 = jnp.minimum(r2_min, l2_rows - 1)
-                row2 = jnp.broadcast_to(l2_ref[pl.ds(r2, 1), :], a2.shape)
-                g2 = jnp.take_along_axis(row2, a2 & 127, axis=1)
-                serve2 = need2 & (rows2 == r2_min)
-                word2 = jnp.where(serve2, g2, word2)
-                cached2 = jnp.where(serve2, a2, cached2)
+                act_i = act.astype(jnp.int32)
+
+                # Serve-until-done, like the fine level: a single
+                # min-first serve per iteration starves high-row lanes
+                # behind continuously renewed low-row demand.
+                def l2_cond(ss):
+                    k, _, cached_ = ss
+                    un = (act_i == 1) & (a2 != cached_)
+                    return jnp.logical_and(k < 64, un.any())
+
+                def l2_body(ss):
+                    k, word_, cached_ = ss
+                    need2 = (act_i == 1) & (a2 != cached_)
+                    r2_min = jnp.min(jnp.where(need2, rows2, BIG_I32))
+                    r2 = jnp.minimum(r2_min, l2_rows - 1)
+                    row2 = jnp.broadcast_to(
+                        l2_ref[pl.ds(r2, 1), :], a2.shape
+                    )
+                    g2 = jnp.take_along_axis(row2, a2 & 127, axis=1)
+                    serve2 = need2 & (rows2 == r2_min)
+                    word_ = jnp.where(serve2, g2, word_)
+                    cached_ = jnp.where(serve2, a2, cached_)
+                    return k + 1, word_, cached_
+
+                _, word2, cached2 = jax.lax.while_loop(
+                    l2_cond, l2_body, (np.int32(0), word2, cached2)
+                )
                 l2_ready = act & (a2 == cached2)
                 block_occ = ((word2 >> (bz & 31)) & 1) == 1
             else:
@@ -303,9 +322,25 @@ def _make_traverse(
                 ncx = jnp.where(bsx, jx, fxc)
                 ncy = jnp.where(bsy, jy, fyc)
                 ncz = jnp.where(bsz, jz, fzc)
+                # Cycle guard: minor-axis rounding in the jump can land
+                # the cell back in the same block (t and cell desync) —
+                # those lanes burn iterations until the fuse.  Detect
+                # no-block-progress and fall through to one exact DDA
+                # cell step instead (safe: the block is empty, so the
+                # cell needs no occupancy word).
+                stuck = skip & (
+                    (
+                        ((ncx >> l2_shift) == bx)
+                        & ((ncy >> l2_shift) == by)
+                        & ((ncz >> l2_shift) == bz)
+                    )
+                    | (bt <= t)  # two-block ping-pong keeps t frozen
+                )
+                skip = skip & (~stuck)
             else:
                 bt = t
                 ncx, ncy, ncz = cx, cy, cz
+                stuck = skip & False
 
             # 3b. occupied block: fetch the fine word and step one cell.
             # Serve-until-done: every fine lane gets its word this
@@ -366,7 +401,7 @@ def _make_traverse(
             hslot = jnp.where(found, slot, hslot)
             active = active * (1 - found.astype(jnp.int32))
 
-            adv = ready & (slot == 0)
+            adv = (ready & (slot == 0)) | stuck
 
             def t_axis(c, og, sgn, o, inv):
                 nb = (og + c.astype(jnp.float32) + (sgn > 0)) * CELL_SIZE

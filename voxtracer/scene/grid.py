@@ -196,25 +196,27 @@ class GridScene:
 def _quantize_leaves(leaves: np.ndarray) -> np.ndarray:
     """Map leaf values into at most PALETTE_CAPACITY - 1 distinct values.
 
-    Values are hashed into slots deterministically; within a colliding
-    slot the first-seen value wins.  Lossless whenever the scene already
-    has < PALETTE_CAPACITY distinct leaves (every .vox scene: <= 512).
+    Lossless whenever the scene already has < PALETTE_CAPACITY distinct
+    leaves (every .vox scene: <= 512).  Beyond that (the random-colored
+    procedural bowl), colors snap to the centers of an 8x8x7 RGB cube
+    per material byte — a bounded, unbiased quantization (a hash-bucket
+    scheme would bias each bucket toward its representative's hue).
     """
     uniq = np.unique(leaves)
     if len(uniq) < PALETTE_CAPACITY:
         return leaves
-    cap = PALETTE_CAPACITY - 1
-    # deterministic integer hash (Knuth multiplicative)
-    h = (uniq.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(cap)
-    # first unique value in each bucket is the bucket's representative
-    order = np.argsort(h, kind="stable")
-    h_sorted = h[order]
-    first = np.ones(len(uniq), bool)
-    first[1:] = h_sorted[1:] != h_sorted[:-1]
-    rep_sorted = uniq[order][np.maximum.accumulate(np.where(first, np.arange(len(uniq)), 0))]
-    rep = np.empty(len(uniq), leaves.dtype)
-    rep[order] = rep_sorted
-    return rep[np.searchsorted(uniq, leaves)]
+    v = leaves.astype(np.int64)
+    mat = (v >> 24) & 0x7F
+    r = (v >> 16) & 0xFF
+    g = (v >> 8) & 0xFF
+    b = v & 0xFF
+    # 8 x 8 x 7 level centers per material (<= 2 material bytes in
+    # practice: diffuse / emissive), 896 < PALETTE_CAPACITY - 1
+    rq = (r >> 5) * 32 + 16
+    gq = (g >> 5) * 32 + 16
+    bq = (2 * np.minimum(b * 7 // 256, 6) + 1) * 256 // 14
+    out = (1 << 31) | (mat << 24) | (rq << 16) | (gq << 8) | bq
+    return (out - (1 << 32)).astype(np.int32)
 
 
 def _build_mips(occ0: np.ndarray, num_mips: int) -> List[np.ndarray]:
