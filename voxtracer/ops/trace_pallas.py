@@ -53,6 +53,7 @@ EMISSIVE_BIT = np.int32(1 << 30)
 MISS_NODE = np.int32(0xFFFFFF)
 RAY_EPS = 1e-5
 BIG_I32 = np.int32(1 << 30)
+WIN_ROWS = 8  # rows per serve window (16 measured slower on menger)
 
 # float32 params vector layout (SMEM row):
 #   0-2 cam origin | 3-5 right | 6-8 up | 9-11 forward(pixel-scaled)
@@ -370,11 +371,11 @@ def _make_traverse(
                 for _ in range(2):
                     needf = (fine_i == 1) & (waddr != cached_)
                     r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
-                    r_base = jnp.clip(r_min, 0, n_rows - 8)
-                    window = table_ref[pl.ds(r_base, 8), :]
+                    r_base = jnp.clip(r_min, 0, n_rows - WIN_ROWS)
+                    window = table_ref[pl.ds(r_base, WIN_ROWS), :]
                     off = rows - r_base
-                    in_win = needf & (off >= 0) & (off < 8)
-                    for s8 in range(8):
+                    in_win = needf & (off >= 0) & (off < WIN_ROWS)
+                    for s8 in range(WIN_ROWS):
                         row_b = jnp.broadcast_to(
                             window[s8 : s8 + 1, :], waddr.shape
                         )

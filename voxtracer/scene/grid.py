@@ -145,8 +145,8 @@ class GridScene:
                 (idx3 << np.array([0, 10, 20], np.int64)).sum(axis=3)
             ).astype(np.uint32)
             flat_words = words.reshape(-1).view(np.int32)
-        # minimum 8 rows: the kernel's window serve slices 8 at a time
-        n_rows = max(8, _ceil_multiple(len(flat_words), 128) // 128)
+        # minimum 16 rows: the kernel's window serve slices 16 at a time
+        n_rows = max(16, _ceil_multiple(len(flat_words), 128) // 128)
         padded = np.zeros(n_rows * 128, np.int32)
         padded[: len(flat_words)] = flat_words
 
