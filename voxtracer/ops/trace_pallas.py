@@ -368,7 +368,7 @@ def _make_traverse(
                 # Two windows per while round to amortize the
                 # microsecond-scale TPU loop-control overhead.
                 k, word_, cached_ = ss
-                for _ in range(2):
+                for _ in range(4):
                     needf = (fine_i == 1) & (waddr != cached_)
                     r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
                     r_base = jnp.clip(r_min, 0, n_rows - WIN_ROWS)
