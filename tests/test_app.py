@@ -174,3 +174,25 @@ def test_renderer_falls_back_for_oversized_scene(monkeypatch):
     assert r.trace_impl == "xla"
     out = r.render(Camera(position=np.array([0.3, 0.2, -2.0])))
     assert np.asarray(out["image"]).shape == (16, 16, 3)
+
+
+def test_param_changes_do_not_retrace():
+    """Uniform-style parameters are traced args: changing them must hit
+    the jit cache (the reference uploads uniforms without rebuilding
+    pipelines; our analog is zero recompiles)."""
+    import dataclasses
+    from voxtracer.engine import pipeline as pl_mod
+    from voxtracer.engine.params import RenderParams
+
+    r = Renderer(scene=_tiny_scene(), height=16, width=16, trace_impl="xla")
+    cam = Camera(position=np.array([0.3, 0.2, -2.0]))
+    r.render(cam)
+    misses0 = pl_mod.render_frame._cache_size()
+    r.render_params = dataclasses.replace(
+        r.render_params, sun_strength=9.0, specularity=0.3
+    )
+    r.temporal_params = dataclasses.replace(
+        r.temporal_params, sample_blending=0.7
+    )
+    r.render(cam)
+    assert pl_mod.render_frame._cache_size() == misses0

@@ -146,7 +146,13 @@ def run_viewer(args) -> int:
                     )
                 elif c == "m":
                     scene_idx = (scene_idx + 1) % len(scenes)
-                    renderer.set_scene(load_scene(scenes[scene_idx]))
+                    try:
+                        renderer.set_scene(load_scene(scenes[scene_idx]))
+                    except Exception:
+                        # keep rendering the old scene, like the
+                        # reference's vox-load failure path
+                        # (src/context.rs:1817-1818)
+                        pass
                 elif c == "r":
                     renderer.reset_accumulation()
                 elif c == "p":
