@@ -18,8 +18,6 @@ import numpy as np
 
 from ..engine.camera import Camera
 from ..engine.pipeline import Renderer
-from ..scene import GridScene, voxels_from_vox
-from ..io import vox as voxio
 from . import camera_paths
 from .cli import load_scene
 

@@ -14,7 +14,7 @@ from typing import Callable, Dict
 import numpy as np
 
 from ..engine.camera import Camera
-from ..scene.grid import CELL_SIZE, GridScene
+from ..scene.grid import GridScene
 
 
 def _scene_frame(scene: GridScene):

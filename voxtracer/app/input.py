@@ -16,7 +16,6 @@ read the resulting :class:`voxtracer.engine.camera.Camera` out.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Set
 
 import numpy as np

@@ -24,13 +24,11 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import sys
-import time
 
 import numpy as np
 
-from ..engine.params import DenoiseParams, RenderParams
 from ..engine.pipeline import Renderer
-from ..utils import FpsCounter, Stopwatch
+from ..utils import FpsCounter
 from . import camera_paths
 from .cli import available_scenes, load_scene
 from .input import FlyController
@@ -79,7 +77,6 @@ def run_viewer(args) -> int:
         curses.curs_set(0)
         stdscr.nodelay(True)
         fps = FpsCounter()
-        watch = Stopwatch()
         nonlocal scene_idx
         step = 1.0 / 15.0
         look = 40.0  # pixels per arrow tap

@@ -12,7 +12,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -24,8 +24,6 @@ from __future__ import annotations
 
 import logging
 import os
-from functools import partial
-
 import numpy as np
 
 log = logging.getLogger("voxtracer.ops.bluenoise")

@@ -12,8 +12,6 @@ bit-for-bit on hits and to float tolerance on shading.
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Dict, Tuple
 
 import jax
