@@ -54,6 +54,7 @@ MISS_NODE = np.int32(0xFFFFFF)
 RAY_EPS = 1e-5
 BIG_I32 = np.int32(1 << 30)
 WIN_ROWS = 8  # rows per serve window (16 measured slower on menger)
+BLOCK = 64  # square pixel block per program (BLOCK*BLOCK == TILE_H*TILE_W)
 
 # float32 params vector layout (SMEM row):
 #   0-2 cam origin | 3-5 right | 6-8 up | 9-11 forward(pixel-scaled)
@@ -544,15 +545,20 @@ def _make_kernel(
             return params_ref[0, i]
 
         shape = (TILE_H, TILE_W)
-        fy = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
-        fx = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+        iy = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        fy = iy.astype(jnp.float32)
+        fx = ix.astype(jnp.float32)
         # traced zero/one planes (plain jnp.zeros here would become an
         # eagerly-created device constant - see module docstring)
         zf = fx * 0.0
         onef = zf + 1.0
         zi = zf.astype(jnp.int32)
-        px = tj.astype(jnp.float32) * TILE_W + fx
-        py = ti.astype(jnp.float32) * TILE_H + fy
+        # lanes cover a square BLOCK x BLOCK pixel region (better 3D
+        # locality for the serve loop than a TILE_H x TILE_W strip)
+        lane = iy * TILE_W + ix
+        px = (tj * BLOCK + (lane % BLOCK)).astype(jnp.float32)
+        py = (ti * BLOCK + (lane // BLOCK)).astype(jnp.float32)
 
         cam_o = (P(0), P(1), P(2))
         right = (P(3), P(4), P(5))
@@ -804,22 +810,31 @@ def render_sample(
 ) -> Dict[str, jnp.ndarray]:
     """Trace one sample with the Pallas kernel; same output dict as
     :func:`voxtracer.ops.trace_xla.render_sample` (H, W shapes)."""
-    hp = _pad_to(height, TILE_H)
-    wp = _pad_to(width, TILE_W)
+    hp = _pad_to(height, BLOCK)
+    wp = _pad_to(width, BLOCK)
     if (hp, wp) != noise_planes.shape[1:]:
         noise_planes = jnp.pad(
             noise_planes,
             ((0, 0), (0, hp - height), (0, wp - width)),
         )
+    # noise planes rearranged to the kernel's square-block lane layout
+    nby, nbx = hp // BLOCK, wp // BLOCK
+    noise_blocks = (
+        noise_planes.reshape(24, nby, BLOCK, nbx, BLOCK)
+        .transpose(0, 1, 3, 2, 4)  # (k, i, j, y, x)
+        .reshape(24, nby, nbx, TILE_H, TILE_W)  # lane = y*BLOCK + x
+        .transpose(0, 1, 3, 2, 4)  # (k, i, r, j, c)
+        .reshape(24, nby * TILE_H, nbx * TILE_W)
+    )
 
-    grid = (hp // TILE_H, wp // TILE_W)
+    grid = (nby, nbx)
     kernel = _make_kernel(
         dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows, use_l2,
         l2_shift=l2_shift, max_bounces=max_bounces,
     )
 
-    plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
-    iplane = jax.ShapeDtypeStruct((hp, wp), jnp.int32)
+    plane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.float32)
+    iplane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.int32)
     tile_spec = pl.BlockSpec(
         (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
@@ -858,12 +873,20 @@ def render_sample(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(params_vec, packed_idx, l2, palette, noise_planes)
+    )(params_vec, packed_idx, l2, palette, noise_blocks)
 
     (cr, cg, cb, nx, ny, nz, depth, node, ar, ag, ab, dbg) = outs
 
     def crop(a):
-        return a[:height, :width]
+        # invert the square-block lane layout back to image space
+        img = (
+            a.reshape(nby, TILE_H, nbx, TILE_W)
+            .transpose(0, 2, 1, 3)  # (i, j, r, c)
+            .reshape(nby, nbx, BLOCK, BLOCK)  # lane -> (y, x)
+            .transpose(0, 2, 1, 3)  # (i, y, j, x)
+            .reshape(hp, wp)
+        )
+        return img[:height, :width]
 
     return {
         "color": jnp.stack([crop(cr), crop(cg), crop(cb)], axis=-1),
