@@ -156,13 +156,16 @@ def _make_traverse(
 ):
     """Build the in-kernel two-level DDA traversal closure.
 
-    Fine level: palette-index words at ``(x * Y + y) * zw + z // 3``.
+    Fine level: palette-index words in pillar order —
+    ``((x>>2)*ceil(Y/4) + (y>>2))*16 + (x&3)*4 + (y&3)`` selects the
+    column, ``* zw + z // 3`` the word within it.
     Skip level (L2): one occupancy bit per 8^3-cell block, words at
     ``(bx * BY + by) * l2_zw + (bz >> 5)``, bit ``bz & 31``; rays jump
     across empty blocks in one step (the TPU equivalent of the octree's
     empty-interior-node skipping, voxels.comp:191-221).
     """
     X, Y, Z = (int(d) for d in dims)
+    PY4 = -(-Y // 4)
     BX, BY, BZ = (int(d) for d in l2_dims)
     oxi, oyi, ozi = (int(o) for o in origin)
     wlo = (oxi * CELL_SIZE, oyi * CELL_SIZE, ozi * CELL_SIZE)
@@ -351,7 +354,10 @@ def _make_traverse(
             # gracefully instead of starving lanes into the fuse.
             fine = l2_ready & block_occ
             czw = _div3(cz)
-            waddr = (cx * Y + cy) * zw + czw
+            col = ((cx >> 2) * PY4 + (cy >> 2)) * 16 + ((cx & 3) << 2) + (
+                cy & 3
+            )
+            waddr = col * zw + czw
             waddr = jnp.where(fine, waddr, 0)
             rows = waddr >> 7
             fine_i = fine.astype(jnp.int32)

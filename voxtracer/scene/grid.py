@@ -146,6 +146,16 @@ class GridScene:
             ).astype(np.uint32)
             flat_words = words.reshape(-1).view(np.int32)
         # minimum 16 rows: the kernel's window serve slices 16 at a time
+        # pillar layout: 4x4 (x, y) column blocks with contiguous z —
+        # a ray neighborhood touches ~2x fewer 128-word rows than with
+        # plain row-major (x, y) ordering, halving serve rounds in the
+        # kernel.  dims are padded to multiples of 8, so 4 divides.
+        assert x_dim % 4 == 0 and y_dim % 4 == 0
+        flat_words = (
+            flat_words.reshape(x_dim // 4, 4, y_dim // 4, 4, zw)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(-1)
+        )
         n_rows = max(16, _ceil_multiple(len(flat_words), 128) // 128)
         padded = np.zeros(n_rows * 128, np.int32)
         padded[: len(flat_words)] = flat_words
