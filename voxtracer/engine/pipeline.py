@@ -198,7 +198,17 @@ class Renderer:
             platform = jax.devices()[0].platform
             self.trace_impl = "xla" if platform == "cpu" else "pallas"
         if self.noise_buffer is None:
-            self.noise_buffer = noise_op.white_noise_buffer()
+            # Blue noise is the reference's RNG source
+            # (src/context.rs:1019-1116); the baked asset loads instantly.
+            # White noise is only the emergency fallback (e.g. missing
+            # asset on a machine where baking is unavailable).
+            try:
+                from ..ops import bluenoise
+
+                self.noise_buffer = bluenoise.cached_buffer()
+            except Exception:
+                log.warning("blue-noise asset unavailable; using white noise")
+                self.noise_buffer = noise_op.white_noise_buffer()
         self._noise = jnp.asarray(self.noise_buffer)
         self._upload_scene(self.scene)
         self.state = init_state(self.height, self.width)
@@ -210,7 +220,9 @@ class Renderer:
         from ..parallel.mesh import scene_device_args
 
         self.scene = scene
-        self._scene_meta, self._scene_arrays = scene_device_args(scene)
+        self._scene_meta, self._scene_arrays = scene_device_args(
+            scene, trace_impl=self.trace_impl
+        )
         table_bytes = self._scene_arrays["packed_idx"].size * 4
         if self.trace_impl == "pallas" and table_bytes > PALLAS_TABLE_BUDGET_BYTES:
             log.warning(
@@ -220,6 +232,12 @@ class Renderer:
                 PALLAS_TABLE_BUDGET_BYTES / 2**20,
             )
             self.trace_impl = "xla"
+            self._scene_arrays["flat_grid"] = jnp.asarray(
+                scene.values.reshape(-1)
+            )
+            self._scene_arrays["grid_origin"] = jnp.asarray(
+                scene.origin.astype(np.int32)
+            )
 
     def set_scene(self, scene: GridScene):
         """Swap scenes and restart accumulation (src/context.rs:1406-1424)."""

@@ -61,6 +61,17 @@ def load(path: str | os.PathLike, renderer: Renderer) -> Camera:
     }
     renderer.frame_number = int(meta["frame_number"])
     renderer.still_sample = int(meta["still_sample"])
+    renderer.denoise_radius = int(meta["denoise_radius"])
+    if meta["trace_impl"] != renderer.trace_impl:
+        # trace_impl is platform-selected (pallas on TPU, xla on CPU);
+        # keep the live choice but surface the divergence.
+        import logging
+
+        logging.getLogger("voxtracer.engine.snapshot").warning(
+            "snapshot was written with trace_impl=%r; resuming with %r",
+            meta["trace_impl"],
+            renderer.trace_impl,
+        )
     renderer.render_params = RenderParams(**meta["render_params"])
     renderer.temporal_params = TemporalParams(**meta["temporal_params"])
     renderer.denoise_params = DenoiseParams(**meta["denoise_params"])

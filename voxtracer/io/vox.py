@@ -167,7 +167,11 @@ def parse(data: bytes) -> Vox:
     while body.remaining() >= 12:
         chunk = _read_chunk(body)
         c = chunk.content
-        if chunk.ident == b"PACK" and not saw_pack:
+        if chunk.ident == b"PACK":
+            # The reference only accepts PACK as the first MAIN child,
+            # before any SIZE/XYZI pair (src/vox.rs:30-38).
+            if saw_pack or sizes:
+                raise VoxError("PACK chunk after model data")
             model_count = c.u32()
             saw_pack = True
         elif chunk.ident == b"SIZE":
@@ -189,7 +193,9 @@ def parse(data: bytes) -> Vox:
 
     if len(sizes) != len(voxel_arrays):
         raise VoxError("SIZE/XYZI chunk count mismatch")
-    if len(sizes) < model_count:
+    if len(sizes) != model_count:
+        # The reference reads exactly model_count SIZE/XYZI pairs and
+        # errors otherwise (src/vox.rs:40-55) — extras are malformed.
         raise VoxError(
             f"expected {model_count} models, found {len(sizes)}"
         )

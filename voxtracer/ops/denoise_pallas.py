@@ -160,7 +160,6 @@ def denoise(
     hp = _pad_to(height, TILE_H)
     wp = _pad_to(width, TILE_W)
 
-    mat_f = material.astype(jnp.float32)  # top-8-bit compare via exactness
     stack = jnp.stack(
         [
             colors[..., 0], colors[..., 1], colors[..., 2],

@@ -130,7 +130,11 @@ def _flat_gather_1024(table, idx):
 
 
 def _div3(v):
-    """Exact v // 3 for 0 <= v < 98304 without integer division."""
+    """Exact v // 3 for 0 <= v < 32768 without integer division.
+
+    (v*21846)>>16 first fails at v=32768 (v%3==2); _make_traverse
+    asserts the z extent stays below that.
+    """
     return (v * 21846) >> 16
 
 
@@ -165,6 +169,7 @@ def _make_traverse(
     empty-interior-node skipping, voxels.comp:191-221).
     """
     X, Y, Z = (int(d) for d in dims)
+    assert Z < 32768, f"z extent {Z} exceeds the _div3 exact range"
     PY4 = -(-Y // 4)
     BX, BY, BZ = (int(d) for d in l2_dims)
     oxi, oyi, ozi = (int(o) for o in origin)

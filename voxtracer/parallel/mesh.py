@@ -88,13 +88,9 @@ def sharded_render_frame(
         },
     )
 
-    scene_shardings = {
-        "flat_grid": rep,
-        "grid_origin": rep,
-        "packed_idx": rep,
-        "l2": rep,
-        "palette": rep,
-    }
+    # Prefix sharding: replicate every scene array regardless of which
+    # table set (xla dense grid / pallas packed tables) was uploaded.
+    scene_shardings = rep
     fn = jax.jit(
         partial(
             pipeline.render_frame_impl,
@@ -127,8 +123,14 @@ def sharded_render_frame(
     return fn, shard_state
 
 
-def scene_device_args(scene):
-    """(scene_meta, scene_arrays) for render_frame from a GridScene."""
+def scene_device_args(scene, trace_impl: str = "all"):
+    """(scene_meta, scene_arrays) for render_frame from a GridScene.
+
+    ``trace_impl`` selects which device tables to upload: the dense
+    int32 grid is only read by the XLA kernel and can be hundreds of
+    MB (procedural bowl ~285 MB), so ``trace_impl="pallas"`` skips it.
+    ``"all"`` uploads everything (tests, dryruns).
+    """
     import jax.numpy as jnp
 
     tables = scene.device_tables()
@@ -143,10 +145,11 @@ def scene_device_args(scene):
         (tables["l2_occupancy"] < 0.35, int(tables["l2_shift"])),
     )
     arrays = {
-        "flat_grid": jnp.asarray(scene.values.reshape(-1)),
-        "grid_origin": jnp.asarray(scene.origin.astype(np.int32)),
         "packed_idx": jnp.asarray(tables["packed_idx"]),
         "l2": jnp.asarray(tables["l2"]),
         "palette": jnp.asarray(tables["palette"]),
     }
+    if trace_impl != "pallas":
+        arrays["flat_grid"] = jnp.asarray(scene.values.reshape(-1))
+        arrays["grid_origin"] = jnp.asarray(scene.origin.astype(np.int32))
     return meta, arrays
