@@ -4,7 +4,7 @@
 // voxel lists into the GPU octree (src/context.rs:710-773).  This is the
 // TPU build's equivalent native path: one pass from a voxel list to the
 // device tables (dense int32 grid, 3x10-bit packed palette-index words,
-// block-occupancy bits) that the Pallas kernel consumes.  Python falls
+// block distance field) that the Pallas kernel consumes.  Python falls
 // back to the numpy implementation when the library isn't built; both
 // must produce bit-identical tables (tests/test_native.py).
 //
@@ -36,11 +36,15 @@ void vox_fill_grid(const int16_t* pos, const int32_t* leaf, int64_t n,
 }
 
 // Map grid values to palette slots and pack 3 consecutive-z 10-bit
-// slots per int32 word (word address (x*dy + y)*zw + z/3).
-//   palette: out, cap int32 slots (slot 0 stays 0); returns the number
-//            of distinct values, or -1 if the palette capacity overflows.
-int64_t vox_pack_words(const int32_t* grid, int64_t dx, int64_t dy,
-                       int64_t dz, int32_t* palette, int64_t cap,
+// slots per int32 word (word address (x*dy + y)*zw + z/3).  Occupied
+// cells get palette slots starting at `reserved`; empty cells store
+// their capped chebyshev jump distance (dist, same extent as grid) in
+// slots 1..reserved-1.
+//   palette: out, cap int32 slots (slots 0..reserved-1 stay 0); returns
+//            the number of distinct values, or -1 on palette overflow.
+int64_t vox_pack_words(const int32_t* grid, const uint8_t* dist, int64_t dx,
+                       int64_t dy, int64_t dz, int32_t* palette, int64_t cap,
+                       int64_t reserved,
                        int32_t* words /* dx*dy*zw, zeroed */) {
   const int64_t zw = (dz + 2) / 3;
   std::unordered_map<int32_t, int32_t> slot_of;
@@ -60,21 +64,22 @@ int64_t vox_pack_words(const int32_t* grid, int64_t dx, int64_t dy,
       }
     }
   }
-  if ((int64_t)uniq.size() >= cap) return -1;
+  if ((int64_t)uniq.size() >= cap - reserved) return -1;
   std::sort(uniq.begin(), uniq.end());
   for (size_t i = 0; i < uniq.size(); ++i) {
-    palette[i + 1] = uniq[i];
-    slot_of[uniq[i]] = (int32_t)(i + 1);
+    palette[reserved + i] = uniq[i];
+    slot_of[uniq[i]] = (int32_t)(reserved + i);
   }
 
   for (int64_t x = 0; x < dx; ++x) {
     for (int64_t y = 0; y < dy; ++y) {
-      const int32_t* col = grid + (x * dy + y) * dz;
+      const int64_t base = (x * dy + y) * dz;
+      const int32_t* col = grid + base;
+      const uint8_t* dcol = dist + base;
       int32_t* wout = words + (x * dy + y) * zw;
       for (int64_t z = 0; z < dz; ++z) {
         int32_t v = col[z];
-        if (v == 0) continue;
-        uint32_t slot = (uint32_t)slot_of[v];
+        uint32_t slot = v != 0 ? (uint32_t)slot_of[v] : (uint32_t)dcol[z];
         wout[z / 3] =
             (int32_t)((uint32_t)wout[z / 3] | (slot << (10 * (z % 3))));
       }
@@ -83,25 +88,64 @@ int64_t vox_pack_words(const int32_t* grid, int64_t dx, int64_t dy,
   return (int64_t)uniq.size();
 }
 
-// Block-occupancy bits: one bit per (2^shift)^3 block, 32 bits packed
-// along block-z per word.  words must be zeroed, sized bx*by*ceil(bz/32).
-void vox_block_bits(const int32_t* grid, int64_t dx, int64_t dy, int64_t dz,
-                    int32_t shift, int32_t* words) {
+// Block-level chebyshev distance field: for each (2^shift)^3 block, the
+// capped max-norm distance to the nearest occupied block (0 = occupied).
+// Exact two-pass chamfer (all 3x3x3 mask weights are 1 under the
+// chessboard metric, so forward+backward raster passes suffice).
+// out must be sized bx*by*bz (uint8).
+void vox_block_dist(const int32_t* grid, int64_t dx, int64_t dy, int64_t dz,
+                    int32_t shift, int32_t cap, uint8_t* out) {
   const int64_t bx = ((dx - 1) >> shift) + 1;
   const int64_t by = ((dy - 1) >> shift) + 1;
   const int64_t bz = ((dz - 1) >> shift) + 1;
-  const int64_t bzw = (bz + 31) / 32;
+  std::vector<uint16_t> d(bx * by * bz, (uint16_t)(cap + 1));
   for (int64_t x = 0; x < dx; ++x) {
     for (int64_t y = 0; y < dy; ++y) {
       const int32_t* col = grid + (x * dy + y) * dz;
+      uint16_t* drow = d.data() + ((x >> shift) * by + (y >> shift)) * bz;
       for (int64_t z = 0; z < dz; ++z) {
-        if (col[z] == 0) continue;
-        int64_t bxx = x >> shift, byy = y >> shift, bzz = z >> shift;
-        int64_t w = (bxx * by + byy) * bzw + (bzz >> 5);
-        words[w] = (int32_t)((uint32_t)words[w] | (1u << (bzz & 31)));
+        if (col[z] != 0) drow[z >> shift] = 0;
       }
     }
   }
+  auto relax_half = [&](bool forward) {
+    const int64_t i0 = forward ? 0 : bx - 1, i1 = forward ? bx : -1;
+    const int64_t step = forward ? 1 : -1;
+    for (int64_t i = i0; i != i1; i += step) {
+      for (int64_t j = forward ? 0 : by - 1; j != (forward ? by : -1);
+           j += step) {
+        for (int64_t k = forward ? 0 : bz - 1; k != (forward ? bz : -1);
+             k += step) {
+          uint16_t best = d[(i * by + j) * bz + k];
+          if (best == 0) continue;
+          for (int64_t di = -1; di <= 1; ++di) {
+            for (int64_t dj = -1; dj <= 1; ++dj) {
+              for (int64_t dk = -1; dk <= 1; ++dk) {
+                // half-neighborhood: cells already finalized in this
+                // raster direction
+                int64_t ord = forward ? (di * 9 + dj * 3 + dk)
+                                      : -(di * 9 + dj * 3 + dk);
+                if (ord >= 0) continue;
+                int64_t ni = i + di, nj = j + dj, nk = k + dk;
+                if (ni < 0 || nj < 0 || nk < 0 || ni >= bx || nj >= by ||
+                    nk >= bz)
+                  continue;
+                uint16_t cand =
+                    (uint16_t)(d[(ni * by + nj) * bz + nk] + 1);
+                if (cand < best) best = cand;
+              }
+            }
+          }
+          d[(i * by + j) * bz + k] = best;
+        }
+      }
+    }
+  };
+  relax_half(true);
+  relax_half(false);
+  const int64_t total = bx * by * bz;
+  for (int64_t i = 0; i < total; ++i)
+    out[i] = (uint8_t)std::min<uint16_t>(d[i], (uint16_t)cap);
 }
 
 // Decode a MagicaVoxel XYZI payload (n * [x y z ci] bytes) into engine

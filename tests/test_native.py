@@ -22,7 +22,7 @@ def _numpy_tables(scene):
     import unittest.mock as mock
 
     with mock.patch.object(native, "pack_words", return_value=None), \
-         mock.patch.object(native, "block_bits", return_value=None):
+         mock.patch.object(native, "block_dist", return_value=None):
         return scene.device_tables()
 
 
@@ -45,9 +45,7 @@ def test_device_tables_native_vs_numpy(lib):
     t_numpy = _numpy_tables(scene)
     np.testing.assert_array_equal(t_native["packed_idx"], t_numpy["packed_idx"])
     np.testing.assert_array_equal(t_native["palette"], t_numpy["palette"])
-    np.testing.assert_array_equal(t_native["l2"], t_numpy["l2"])
     assert t_native["zw"] == t_numpy["zw"]
-    assert t_native["l2_shift"] == t_numpy["l2_shift"]
 
 
 def test_decode_xyzi(lib):

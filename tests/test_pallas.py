@@ -15,27 +15,10 @@ from voxtracer.oracle import renderer as oracle
 from voxtracer.scene import GridScene, VoxelList
 
 
-def test_pallas_interpret_matches_oracle():
-    vl = VoxelList(
-        pos=np.array(
-            [[0, 0, 0], [2, 1, 0], [1, 0, 3], [-2, 1, 1]], dtype=np.int16
-        ),
-        mrgb=np.array(
-            [
-                [0, 200, 100, 50],
-                [0x40, 255, 10, 10],
-                [0, 10, 255, 10],
-                [0, 90, 90, 240],
-            ],
-            dtype=np.uint8,
-        ),
-    )
-    scene = GridScene.from_voxels(vl)
-    cam = Camera(position=np.array([0.3, 0.2, -1.5]))
-    w, h = 128, 64  # padded internally to a whole tile
+def _compare(scene, cam, w=128, h=64, seed=7):
     params = RenderParams()
     right, up, forward = cam.axis_scaled(w, h)
-    buf = noise_op.white_noise_buffer(seed=7, count=32)
+    buf = noise_op.white_noise_buffer(seed=seed, count=32)
     planes = noise_op.noise_planes(buf, 1, h, w)
 
     o = oracle.render_sample(
@@ -56,7 +39,6 @@ def test_pallas_interpret_matches_oracle():
     pvec = trace_pallas.pack_params(cam_arr, params)
     x = trace_pallas.render_sample(
         jnp.asarray(t["packed_idx"]),
-        jnp.asarray(t["l2"]),
         jnp.asarray(t["palette"]),
         jnp.asarray(pvec),
         jnp.asarray(planes),
@@ -64,9 +46,6 @@ def test_pallas_interpret_matches_oracle():
         zw=t["zw"],
         origin=tuple(int(v) for v in scene.origin),
         n_rows=t["packed_idx"].shape[0],
-        l2_dims=t["l2_dims"],
-        l2_zw=t["l2_zw"],
-        l2_rows=t["l2"].shape[0],
         height=h,
         width=w,
         interpret=True,
@@ -82,3 +61,57 @@ def test_pallas_interpret_matches_oracle():
     err = np.abs(x["color"] - o["color"]).max(axis=-1)
     assert (err[agree] < 1e-3).mean() > 0.995
     assert (o["normal"][agree] == x["normal"][agree]).mean() > 0.999
+    return t
+
+
+def test_pallas_interpret_matches_oracle():
+    vl = VoxelList(
+        pos=np.array(
+            [[0, 0, 0], [2, 1, 0], [1, 0, 3], [-2, 1, 1]], dtype=np.int16
+        ),
+        mrgb=np.array(
+            [
+                [0, 200, 100, 50],
+                [0x40, 255, 10, 10],
+                [0, 10, 255, 10],
+                [0, 90, 90, 240],
+            ],
+            dtype=np.uint8,
+        ),
+    )
+    scene = GridScene.from_voxels(vl)
+    cam = Camera(position=np.array([0.3, 0.2, -1.5]))
+    _compare(scene, cam)
+
+
+def test_pallas_sparse_scene_distance_field_jumps():
+    """Sparse 64^3-class scene: long empty runs force multi-block
+    distance-field jumps (the old bitmap skipped one block at a time);
+    hits must still match the oracle exactly."""
+    rng = np.random.default_rng(11)
+    n = 48
+    pos = np.stack(
+        [
+            rng.integers(-30, 31, n),
+            rng.integers(-30, 31, n),
+            rng.integers(-30, 31, n),
+        ],
+        axis=1,
+    ).astype(np.int16)
+    mrgb = np.concatenate(
+        [
+            np.zeros((n, 1), np.uint8),
+            rng.integers(30, 255, (n, 3)).astype(np.uint8),
+        ],
+        axis=1,
+    )
+    scene = GridScene.from_voxels(VoxelList(pos=pos, mrgb=mrgb))
+    from voxtracer.scene.grid import DIST_CAP, _chebyshev_distance
+
+    dist = _chebyshev_distance(scene.values != 0, cap=DIST_CAP)
+    assert dist.max() >= 5, "scene must contain multi-cell jumps"
+    cam = Camera(
+        position=np.array([2.0, 3.0, -40.0]),
+        direction=np.array([-0.05, -0.1, 1.0]),
+    )
+    _compare(scene, cam, seed=3)

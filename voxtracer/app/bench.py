@@ -77,7 +77,6 @@ def config1_oracle_match(quick=False):
     cam_arr = np.stack([cam.position, right, up, forward]).astype(np.float32)
     x = trace_pallas.render_sample(
         jnp.asarray(t["packed_idx"]),
-        jnp.asarray(t["l2"]),
         jnp.asarray(t["palette"]),
         jnp.asarray(trace_pallas.pack_params(cam_arr, params)),
         jnp.asarray(planes),
@@ -85,9 +84,6 @@ def config1_oracle_match(quick=False):
         zw=t["zw"],
         origin=tuple(int(v) for v in scene.origin),
         n_rows=t["packed_idx"].shape[0],
-        l2_dims=t["l2_dims"],
-        l2_zw=t["l2_zw"],
-        l2_rows=t["l2"].shape[0],
         height=size,
         width=size,
     )
@@ -149,6 +145,7 @@ def config4_monu9_full(quick=False):
 
     from ..engine.params import DenoiseParams, TemporalParams
     from ..ops import denoise as denoise_op
+    from ..ops import denoise_pallas as denoise_pallas_op
     from ..ops import temporal as temporal_op
     from ..ops import tonemap as tonemap_op
 
@@ -181,7 +178,11 @@ def config4_monu9_full(quick=False):
         np.asarray(jax.tree_util.tree_leaves(res)[0])
         return (time.perf_counter() - t0) / n
 
-    den = jax.jit(partial(denoise_op.denoise, radius=2))
+    # time the denoiser the pipeline actually selected for this device
+    den_mod = (
+        denoise_pallas_op if r.trace_impl == "pallas" else denoise_op
+    )
+    den = jax.jit(partial(den_mod.denoise, radius=2))
     t_denoise = _t(den, gC, gN, gD, gA, gM, cam_t, DenoiseParams())
     tmp = jax.jit(partial(temporal_op.temporal_blend, reproject=True))
     t_temporal = _t(

@@ -36,6 +36,7 @@ log = logging.getLogger("voxtracer.engine.pipeline")
 PALLAS_TABLE_BUDGET_BYTES = 96 * 1024 * 1024
 
 from ..ops import denoise as denoise_op
+from ..ops import denoise_pallas as denoise_pallas_op
 from ..ops import noise as noise_op
 from ..ops import temporal as temporal_op
 from ..ops import tonemap
@@ -74,8 +75,7 @@ def render_frame_impl(
     reproject: bool,
     trace_impl: str = "xla",
 ):
-    dims, origin, zw, n_rows, l2_dims, l2_zw, l2_rows, l2_cfg = scene_meta
-    use_l2, l2_shift = l2_cfg
+    dims, origin, zw, n_rows = scene_meta
     planes = noise_op.noise_planes(
         noise_buffer, frame_number, height, width, xp=jnp
     )
@@ -84,7 +84,6 @@ def render_frame_impl(
         params_vec = trace_pallas.pack_params_traced(cam, render_params)
         gbuf = trace_pallas.render_sample(
             scene_arrays["packed_idx"],
-            scene_arrays["l2"],
             scene_arrays["palette"],
             params_vec,
             planes,
@@ -92,13 +91,8 @@ def render_frame_impl(
             zw=zw,
             origin=origin,
             n_rows=n_rows,
-            l2_dims=l2_dims,
-            l2_zw=l2_zw,
-            l2_rows=l2_rows,
             height=height,
             width=width,
-            use_l2=use_l2,
-            l2_shift=l2_shift,
         )
     else:
         gbuf = trace_xla.render_sample(
@@ -132,7 +126,14 @@ def render_frame_impl(
         reproject=reproject,
     )
 
-    out = denoise_op.denoise(
+    # The VMEM-windowed Pallas stencil reads each pixel once; the XLA
+    # stencil streams ~(2r+1)^2 full-image slices through HBM.  Pair it
+    # with the Pallas trace path (TPU); keep XLA as the portable path.
+    denoise_fn = (
+        denoise_pallas_op.denoise if trace_impl == "pallas"
+        else denoise_op.denoise
+    )
+    out = denoise_fn(
         blended,
         gbuf["normal"],
         gbuf["depth"],

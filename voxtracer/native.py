@@ -1,7 +1,7 @@
 """ctypes bindings for the native scene-build kernels (libvoxnative).
 
 The reference's host runtime is native Rust; here the host-side hot
-loops (grid fill, word packing, block bits, XYZI decode) have a C++
+loops (grid fill, word packing, block distance field, XYZI decode) have a C++
 implementation built with ``make -C native``.  Everything degrades
 gracefully: if the library is absent and cannot be built, callers use
 the numpy implementations, which produce identical bits.
@@ -61,10 +61,12 @@ def get() -> Optional[ctypes.CDLL]:
         _i16p, _i32p, i64, i32, i32, i32, i64, i64, i64, _i32p,
     ]
     lib.vox_fill_grid.restype = None
-    lib.vox_pack_words.argtypes = [_i32p, i64, i64, i64, _i32p, i64, _i32p]
+    lib.vox_pack_words.argtypes = [
+        _i32p, _u8p, i64, i64, i64, _i32p, i64, i64, _i32p,
+    ]
     lib.vox_pack_words.restype = i64
-    lib.vox_block_bits.argtypes = [_i32p, i64, i64, i64, i32, _i32p]
-    lib.vox_block_bits.restype = None
+    lib.vox_block_dist.argtypes = [_i32p, i64, i64, i64, i32, i32, _u8p]
+    lib.vox_block_dist.restype = None
     lib.vox_decode_xyzi.argtypes = [_u8p, i64, _i16p, _u8p]
     lib.vox_decode_xyzi.restype = None
     _lib = lib
@@ -87,7 +89,7 @@ def fill_grid(pos, leaves, origin, dims) -> Optional[np.ndarray]:
     return grid.reshape(dims)
 
 
-def pack_words(grid, cap) -> Optional[tuple]:
+def pack_words(grid, dist, cap, reserved) -> Optional[tuple]:
     lib = get()
     if lib is None:
         return None
@@ -96,13 +98,18 @@ def pack_words(grid, cap) -> Optional[tuple]:
     palette = np.zeros(cap, np.int32)
     words = np.zeros(dx * dy * zw, np.int32)
     g = np.ascontiguousarray(grid, np.int32)
-    n = lib.vox_pack_words(g.reshape(-1), dx, dy, dz, palette, cap, words)
+    d = np.ascontiguousarray(dist, np.uint8)
+    n = lib.vox_pack_words(
+        g.reshape(-1), d.reshape(-1), dx, dy, dz, palette, cap, reserved,
+        words,
+    )
     if n < 0:
         raise AssertionError("scene not palettized")
     return words.reshape(dx * dy, zw).reshape(-1), palette, zw
 
 
-def block_bits(grid, shift) -> Optional[np.ndarray]:
+def block_dist(grid, shift, cap) -> Optional[np.ndarray]:
+    """(bx, by, bz) uint8 capped chebyshev block distance field."""
     lib = get()
     if lib is None:
         return None
@@ -110,11 +117,10 @@ def block_bits(grid, shift) -> Optional[np.ndarray]:
     bx = ((dx - 1) >> shift) + 1
     by = ((dy - 1) >> shift) + 1
     bz = ((dz - 1) >> shift) + 1
-    bzw = -(-bz // 32)
-    words = np.zeros(bx * by * bzw, np.int32)
+    out = np.zeros(bx * by * bz, np.uint8)
     g = np.ascontiguousarray(grid, np.int32)
-    lib.vox_block_bits(g.reshape(-1), dx, dy, dz, shift, words)
-    return words
+    lib.vox_block_dist(g.reshape(-1), dx, dy, dz, shift, cap, out)
+    return out.reshape(bx, by, bz)
 
 
 def decode_xyzi(raw: np.ndarray) -> Optional[tuple]:

@@ -4,14 +4,16 @@ Same observable semantics as :mod:`voxtracer.oracle.renderer` /
 :mod:`voxtracer.ops.trace_xla` (which mirror ``shaders/voxels.comp``),
 engineered for what the TPU vector core actually supports:
 
-  * Rays are tiled into (64, 128) pixel blocks; each grid program path
-    traces its whole tile (3 bounces + sun shadow rays) with all state
-    in (64, 128) register planes — the TPU analog of the reference's
-    16x16 GPU workgroups (``voxels.comp:15``).
+  * Rays are tiled into 64x64 pixel blocks (square blocks measured
+    ~2.5x fewer serve iterations than 32x128 image strips); each grid
+    program path traces its whole tile (3 bounces + sun shadow rays)
+    with all state in (32, 128) register planes — the TPU analog of the
+    reference's 16x16 GPU workgroups (``voxels.comp:15``).
   * The scene lives in VMEM as a palette-index grid, 3 consecutive-z
     10-bit indices packed per int32 word (``GridScene.device_tables``).
-    One fetched word answers occupancy for 3 cells, and at a hit its
-    index *is* the color lookup — no separate value fetch.
+    One fetched word answers occupancy for 3 cells, at a hit its index
+    *is* the color lookup, and empty cells carry a baked chebyshev
+    jump distance — no separate value fetch, no second structure.
   * Per-lane random access is the TPU's weak spot: the only fast
     primitive is a cross-lane ``dynamic_gather`` within 128-word rows.
     Word fetches therefore run through a coherence-adaptive "row serve"
@@ -40,7 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..scene.grid import CELL_SIZE
+from ..scene.grid import CELL_SIZE, RESERVED_SLOTS
 
 TILE_H = 32
 TILE_W = 128
@@ -53,8 +55,14 @@ EMISSIVE_BIT = np.int32(1 << 30)
 MISS_NODE = np.int32(0xFFFFFF)
 RAY_EPS = 1e-5
 BIG_I32 = np.int32(1 << 30)
-WIN_ROWS = 8  # rows per serve window (16 measured slower on menger)
-BLOCK = 64  # square pixel block per program (BLOCK*BLOCK == TILE_H*TILE_W)
+WIN_ROWS = 16  # rows per serve window (8 and 32 both measured slower)
+UNROLL = 1  # DDA steps per outer while round (2 measured no better)
+# Lanes cover a square BLOCK x BLOCK pixel region per program (better
+# 3-D locality for the serve loop than a raw TILE_H x TILE_W image
+# strip: ~2.5x fewer serve iterations on menger).  The image<->lane
+# remaps outside the kernel cost ~9 ms at 720p — far below the serve
+# iterations they save.  BLOCK*BLOCK == TILE_H*TILE_W.
+BLOCK = 64
 
 # float32 params vector layout (SMEM row):
 #   0-2 cam origin | 3-5 right | 6-8 up | 9-11 forward(pixel-scaled)
@@ -154,24 +162,23 @@ def _norm_div3(x, y, z):
     return x / n, y / n, z / n
 
 
-def _make_traverse(
-    dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows,
-    use_l2=True, l2_shift=3,
-):
-    """Build the in-kernel two-level DDA traversal closure.
+def _make_traverse(dims, zw, origin, n_rows):
+    """Build the in-kernel distance-field DDA traversal closure.
 
-    Fine level: palette-index words in pillar order —
+    Words hold palette-index slots in pillar order —
     ``((x>>2)*ceil(Y/4) + (y>>2))*16 + (x&3)*4 + (y&3)`` selects the
-    column, ``* zw + z // 3`` the word within it.
-    Skip level (L2): one occupancy bit per 8^3-cell block, words at
-    ``(bx * BY + by) * l2_zw + (bz >> 5)``, bit ``bz & 31``; rays jump
-    across empty blocks in one step (the TPU equivalent of the octree's
-    empty-interior-node skipping, voxels.comp:191-221).
+    column, ``* zw + z // 3`` the word within it.  A slot >=
+    RESERVED_SLOTS is an occupied cell (palette entry); a slot d <
+    RESERVED_SLOTS certifies every cell within chebyshev radius d-1
+    empty, so the ray jumps straight to the exit of that box — one
+    fetch answers both "hit what?" and "how far may I skip?" (the TPU
+    equivalent of the octree popping multiple levels at once,
+    voxels.comp:191-221, without a second acceleration structure).
+    d == 1 degenerates to the exact single-cell DDA step.
     """
     X, Y, Z = (int(d) for d in dims)
     assert Z < 32768, f"z extent {Z} exceeds the _div3 exact range"
     PY4 = -(-Y // 4)
-    BX, BY, BZ = (int(d) for d in l2_dims)
     oxi, oyi, ozi = (int(o) for o in origin)
     wlo = (oxi * CELL_SIZE, oyi * CELL_SIZE, ozi * CELL_SIZE)
     whi = (
@@ -180,7 +187,7 @@ def _make_traverse(
         (ozi + Z) * CELL_SIZE,
     )
 
-    def traverse(table_ref, l2_ref, o3, d3, mask=None):
+    def traverse(table_ref, o3, d3, mask=None):
         """Returns (hit i32, t, slot i32, fused, normal tuple).
 
         ``mask`` (bool) gates which lanes traverse at all — dead paths
@@ -230,29 +237,13 @@ def _make_traverse(
         zero_f = jnp.zeros_like(t0)
 
         def cond(s):
-            it, active = s[0], s[1]
+            it, active = s[0], s[2]
             return jnp.logical_and(it < MAX_OUTER_ITERS, jnp.max(active) > 0)
 
-        def body(s):
-            (
-                it,
-                active,
-                cx,
-                cy,
-                cz,
-                t,
-                cached,
-                word,
-                cached2,
-                word2,
-                hit,
-                hit_t,
-                hcx,
-                hcy,
-                hcz,
-                hslot,
-            ) = s
-
+        def one_step(
+            nserv, active, cx, cy, cz, t, cached, word,
+            hit, hit_t, hcx, hcy, hcz, hslot,
+        ):
             # 1. bounds check (oracle order: before the value test)
             inb = (
                 (cx >= 0)
@@ -264,148 +255,62 @@ def _make_traverse(
             ).astype(jnp.int32)
             active = active * inb
             act = active == 1
+            act_i = active
 
-            # 2. skip-level occupancy for the 8^3 block
-            if use_l2:
-                bx = cx >> l2_shift
-                by = cy >> l2_shift
-                bz = cz >> l2_shift
-                a2 = (bx * BY + by) * l2_zw + (bz >> 5)
-                a2 = jnp.where(act, a2, 0)
-                rows2 = a2 >> 7
-                act_i = act.astype(jnp.int32)
-
-                # Serve-until-done, like the fine level: a single
-                # min-first serve per iteration starves high-row lanes
-                # behind continuously renewed low-row demand.
-                def l2_cond(ss):
-                    k, _, cached_ = ss
-                    un = (act_i == 1) & (a2 != cached_)
-                    return jnp.logical_and(k < 64, un.any())
-
-                def l2_body(ss):
-                    k, word_, cached_ = ss
-                    need2 = (act_i == 1) & (a2 != cached_)
-                    r2_min = jnp.min(jnp.where(need2, rows2, BIG_I32))
-                    r2 = jnp.minimum(r2_min, l2_rows - 1)
-                    row2 = jnp.broadcast_to(
-                        l2_ref[pl.ds(r2, 1), :], a2.shape
-                    )
-                    g2 = jnp.take_along_axis(row2, a2 & 127, axis=1)
-                    serve2 = need2 & (rows2 == r2_min)
-                    word_ = jnp.where(serve2, g2, word_)
-                    cached_ = jnp.where(serve2, a2, cached_)
-                    return k + 1, word_, cached_
-
-                _, word2, cached2 = jax.lax.while_loop(
-                    l2_cond, l2_body, (np.int32(0), word2, cached2)
-                )
-                l2_ready = act & (a2 == cached2)
-                block_occ = ((word2 >> (bz & 31)) & 1) == 1
-            else:
-                l2_ready = act
-                block_occ = act | True
-
-            # 3a. empty block: jump to the block exit in one step
-            skip = l2_ready & (~block_occ)
-
-            if use_l2:
-                def bt_axis(b, og, sgn, o, inv):
-                    nb = (
-                        og + ((b + (sgn > 0)) << l2_shift).astype(jnp.float32)
-                    ) * CELL_SIZE
-                    return jnp.where(sgn != 0, (nb - o) * inv, inf)
-
-                btx = bt_axis(bx, float(oxi), sx, ox_, invx)
-                bty = bt_axis(by, float(oyi), sy, oy_, invy)
-                btz = bt_axis(bz, float(ozi), sz, oz_, invz)
-                bt = jnp.minimum(jnp.minimum(btx, bty), btz)
-                bsx = (btx <= bty) & (btx <= btz)
-                bsy = (~bsx) & (bty <= btz)
-                bsz = (~bsx) & (~bsy)
-                jx = jnp.where(sx > 0, (bx + 1) << l2_shift, (bx << l2_shift) - 1)
-                jy = jnp.where(sy > 0, (by + 1) << l2_shift, (by << l2_shift) - 1)
-                jz = jnp.where(sz > 0, (bz + 1) << l2_shift, (bz << l2_shift) - 1)
-                fxc = cell_from_float(ox_, dx, bt, float(oxi))
-                fyc = cell_from_float(oy_, dy, bt, float(oyi))
-                fzc = cell_from_float(oz_, dz, bt, float(ozi))
-                ncx = jnp.where(bsx, jx, fxc)
-                ncy = jnp.where(bsy, jy, fyc)
-                ncz = jnp.where(bsz, jz, fzc)
-                # Cycle guard: minor-axis rounding in the jump can land
-                # the cell back in the same block (t and cell desync) —
-                # those lanes burn iterations until the fuse.  Detect
-                # no-block-progress and fall through to one exact DDA
-                # cell step instead (safe: the block is empty, so the
-                # cell needs no occupancy word).
-                stuck = skip & (
-                    (
-                        ((ncx >> l2_shift) == bx)
-                        & ((ncy >> l2_shift) == by)
-                        & ((ncz >> l2_shift) == bz)
-                    )
-                    | (bt <= t)  # two-block ping-pong keeps t frozen
-                )
-                skip = skip & (~stuck)
-            else:
-                bt = t
-                ncx, ncy, ncz = cx, cy, cz
-                stuck = skip & False
-
-            # 3b. occupied block: fetch the fine word and step one cell.
-            # Serve-until-done: every fine lane gets its word this
-            # iteration; each serve round costs ~6 ops (vs re-running
-            # the whole ~80-op body on a stall), so divergence degrades
-            # gracefully instead of starving lanes into the fuse.
-            fine = l2_ready & block_occ
+            # 2. fetch the word for the current cell.  Window serve: one
+            # 8-row dynamic slice anchored at the minimum pending row
+            # satisfies every lane whose row falls in [r_min,
+            # r_min+WIN_ROWS) — the pillar layout clusters a ray
+            # neighborhood's rows, so ONE inline round (no loop-control
+            # overhead) usually serves everyone; stragglers drain in the
+            # while loop.
             czw = _div3(cz)
             col = ((cx >> 2) * PY4 + (cy >> 2)) * 16 + ((cx & 3) << 2) + (
                 cy & 3
             )
             waddr = col * zw + czw
-            waddr = jnp.where(fine, waddr, 0)
+            waddr = jnp.where(act, waddr, 0)
             rows = waddr >> 7
-            fine_i = fine.astype(jnp.int32)
+
+            def serve_round(word_, cached_):
+                needf = (act_i == 1) & (waddr != cached_)
+                r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
+                r_base = jnp.clip(r_min, 0, n_rows - WIN_ROWS)
+                window = table_ref[pl.ds(r_base, WIN_ROWS), :]
+                off = rows - r_base
+                in_win = needf & (off >= 0) & (off < WIN_ROWS)
+                for s8 in range(WIN_ROWS):
+                    row_b = jnp.broadcast_to(
+                        window[s8 : s8 + 1, :], waddr.shape
+                    )
+                    g = jnp.take_along_axis(row_b, waddr & 127, axis=1)
+                    serve = in_win & (off == s8)
+                    word_ = jnp.where(serve, g, word_)
+                    cached_ = jnp.where(serve, waddr, cached_)
+                return word_, cached_
+
+            word, cached = serve_round(word, cached)
 
             def serve_cond(ss):
                 k, word_, cached_ = ss
-                unserved = (fine_i == 1) & (waddr != cached_)
+                unserved = (act_i == 1) & (waddr != cached_)
                 return jnp.logical_and(k < 256, unserved.any())
 
             def serve_body(ss):
-                # Window serve: one 8-row dynamic slice anchored at the
-                # minimum pending row satisfies every lane whose row
-                # falls in [r_min, r_min+8) — spatial locality makes
-                # pending rows cluster, so most rounds serve all lanes.
-                # Two windows per while round to amortize the
-                # microsecond-scale TPU loop-control overhead.
                 k, word_, cached_ = ss
-                for _ in range(4):
-                    needf = (fine_i == 1) & (waddr != cached_)
-                    r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
-                    r_base = jnp.clip(r_min, 0, n_rows - WIN_ROWS)
-                    window = table_ref[pl.ds(r_base, WIN_ROWS), :]
-                    off = rows - r_base
-                    in_win = needf & (off >= 0) & (off < WIN_ROWS)
-                    for s8 in range(WIN_ROWS):
-                        row_b = jnp.broadcast_to(
-                            window[s8 : s8 + 1, :], waddr.shape
-                        )
-                        g = jnp.take_along_axis(row_b, waddr & 127, axis=1)
-                        serve = in_win & (off == s8)
-                        word_ = jnp.where(serve, g, word_)
-                        cached_ = jnp.where(serve, waddr, cached_)
+                word_, cached_ = serve_round(word_, cached_)
                 return k + 1, word_, cached_
 
-            _, word, cached = jax.lax.while_loop(
+            kf, word, cached = jax.lax.while_loop(
                 serve_cond, serve_body, (np.int32(0), word, cached)
             )
+            nserv = nserv + 1 + kf
 
-            ready = fine & (waddr == cached)
             czr = cz - czw * 3
             slot = (word >> (czr * 10)) & 1023
 
-            found = ready & (slot != 0)
+            # 3. occupied cell: record the hit and retire the lane
+            found = act & (slot >= RESERVED_SLOTS)
             hit = jnp.where(found, 1, hit)
             hit_t = jnp.where(found, t, hit_t)
             hcx = jnp.where(found, cx, hcx)
@@ -414,27 +319,47 @@ def _make_traverse(
             hslot = jnp.where(found, slot, hslot)
             active = active * (1 - found.astype(jnp.int32))
 
-            adv = (ready & (slot == 0)) | stuck
+            # 4. empty cell: jump to the exit of the certified-empty
+            # box [c-(d-1), c+d).  d == 1 is exactly the classic DDA
+            # single-cell step; larger d skips whole empty regions.
+            step = act & (~found)
+            d = jnp.maximum(slot, 1)
 
-            def t_axis(c, og, sgn, o, inv):
-                nb = (og + c.astype(jnp.float32) + (sgn > 0)) * CELL_SIZE
+            def bt_axis(c, og, sgn, o, inv):
+                bnd = jnp.where(sgn > 0, c + d, c - d + 1)
+                nb = (og + bnd.astype(jnp.float32)) * CELL_SIZE
                 return jnp.where(sgn != 0, (nb - o) * inv, inf)
 
-            tx = t_axis(cx, float(oxi), sx, ox_, invx)
-            ty = t_axis(cy, float(oyi), sy, oy_, invy)
-            tz = t_axis(cz, float(ozi), sz, oz_, invz)
-            t_cross = jnp.minimum(jnp.minimum(tx, ty), tz)
-            selx = (tx <= ty) & (tx <= tz)
-            sely = (~selx) & (ty <= tz)
-            selz = (~selx) & (~sely)
+            btx = bt_axis(cx, float(oxi), sx, ox_, invx)
+            bty = bt_axis(cy, float(oyi), sy, oy_, invy)
+            btz = bt_axis(cz, float(ozi), sz, oz_, invz)
+            bt = jnp.minimum(jnp.minimum(btx, bty), btz)
+            bsx = (btx <= bty) & (btx <= btz)
+            bsy = (~bsx) & (bty <= btz)
+            bsz = (~bsx) & (~bsy)
+            jx = jnp.where(sx > 0, cx + d, cx - d)
+            jy = jnp.where(sy > 0, cy + d, cy - d)
+            jz = jnp.where(sz > 0, cz + d, cz - d)
+            # crossing axis moves exactly d cells (monotone, so the
+            # march always terminates); for d == 1 the other axes hold
+            # (exact DDA), for d > 1 they follow the ray to the box exit
+            d1 = slot <= 1
+            fxc = cell_from_float(ox_, dx, bt, float(oxi))
+            fyc = cell_from_float(oy_, dy, bt, float(oyi))
+            fzc = cell_from_float(oz_, dz, bt, float(ozi))
+            ncx = jnp.where(bsx, jx, jnp.where(d1, cx, fxc))
+            ncy = jnp.where(bsy, jy, jnp.where(d1, cy, fyc))
+            ncz = jnp.where(bsz, jz, jnp.where(d1, cz, fzc))
 
-            cx = jnp.where(adv & selx, cx + sx, jnp.where(skip, ncx, cx))
-            cy = jnp.where(adv & sely, cy + sy, jnp.where(skip, ncy, cy))
-            cz = jnp.where(adv & selz, cz + sz, jnp.where(skip, ncz, cz))
-            t = jnp.where(adv, t_cross, jnp.where(skip, bt, t))
+            cx = jnp.where(step, ncx, cx)
+            cy = jnp.where(step, ncy, cy)
+            cz = jnp.where(step, ncz, cz)
+            # max() guards against float ping-pong freezing t; cell
+            # progress is monotone regardless, t only feeds hit_t
+            t = jnp.where(step, jnp.maximum(t, bt), t)
 
             return (
-                it + 1,
+                nserv,
                 active,
                 cx,
                 cy,
@@ -442,8 +367,6 @@ def _make_traverse(
                 t,
                 cached,
                 word,
-                cached2,
-                word2,
                 hit,
                 hit_t,
                 hcx,
@@ -452,16 +375,25 @@ def _make_traverse(
                 hslot,
             )
 
+        def body(s):
+            # UNROLL DDA steps per while round: outer loop control costs
+            # microseconds on TPU, comparable to the ~35-op serve round
+            # itself; unrolling halves it (lanes that retire mid-round
+            # are masked, and their serve loops vacuously skip)
+            rest = s[1:]
+            for _ in range(UNROLL):
+                rest = one_step(*rest)
+            return (s[0] + UNROLL,) + rest
+
         state = (
             np.int32(0),
+            np.int32(0),  # serve-round counter (perf instrumentation)
             active0,
             cx,
             cy,
             cz,
             t0,
-            zero_i - 1,  # cached fine word address
-            zero_i,
-            zero_i - 1,  # cached L2 word address
+            zero_i - 1,  # cached word address
             zero_i,
             zero_i,  # hit mask
             zero_f,
@@ -473,13 +405,12 @@ def _make_traverse(
         out = jax.lax.while_loop(cond, body, state)
         (
             n_iters,
+            n_serves,
             active,
             cx,
             cy,
             cz,
             t,
-            _,
-            _,
             _,
             _,
             hit,
@@ -516,24 +447,17 @@ def _make_traverse(
         ny = jnp.where((ay == m) & hitb, -jnp.sign(dy), 0.0)
         nz = jnp.where((az == m) & hitb, -jnp.sign(dz), 0.0)
 
-        return hit, hit_t, hslot, fused, (nx, ny, nz), n_iters
+        return hit, hit_t, hslot, fused, (nx, ny, nz), (n_iters, n_serves)
 
     return traverse
 
 
-def _make_kernel(
-    dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows, use_l2,
-    l2_shift=3, max_bounces=MAX_BOUNCES,
-):
-    traverse = _make_traverse(
-        dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows,
-        use_l2=use_l2, l2_shift=l2_shift,
-    )
+def _make_kernel(dims, zw, origin, n_rows, max_bounces=MAX_BOUNCES):
+    traverse = _make_traverse(dims, zw, origin, n_rows)
 
     def kernel(
         params_ref,  # (1, PARAMS_LEN) f32 SMEM
         table_ref,  # (n_rows, 128) int32 VMEM
-        l2_ref,  # (l2_rows, 128) int32 VMEM
         palette_ref,  # (8, 128) int32 VMEM
         noise_ref,  # (24, TILE_H, TILE_W) f32 VMEM
         color_r_ref,
@@ -565,8 +489,7 @@ def _make_kernel(
         zf = fx * 0.0
         onef = zf + 1.0
         zi = zf.astype(jnp.int32)
-        # lanes cover a square BLOCK x BLOCK pixel region (better 3D
-        # locality for the serve loop than a TILE_H x TILE_W strip)
+        # lanes cover a square BLOCK x BLOCK pixel region (see BLOCK)
         lane = iy * TILE_W + ix
         px = (tj * BLOCK + (lane % BLOCK)).astype(jnp.float32)
         py = (ti * BLOCK + (lane // BLOCK)).astype(jnp.float32)
@@ -622,10 +545,10 @@ def _make_kernel(
         for bounce in range(max_bounces):
             k0 = RANDS_PER_BOUNCE * bounce
             hit_i, t, slot, fused, (nx, ny, nz), t_iters = traverse(
-                table_ref, l2_ref, (rox, roy, roz), (rdx, rdy, rdz),
+                table_ref, (rox, roy, roz), (rdx, rdy, rdz),
                 mask=(alive == 1),
             )
-            iter_counts.append(t_iters)
+            iter_counts.append(t_iters)  # (n_iters, n_serves)
             hit = (hit_i == 1) & (alive == 1)
             node = slot_color(slot)
             node = jnp.where(fused, LEAF_BIT, node)
@@ -681,12 +604,17 @@ def _make_kernel(
             sox = hx_pos + RAY_EPS * nx
             soy = hy_pos + RAY_EPS * ny
             soz = hz_pos + RAY_EPS * nz
+            # NEE elision: when the sun is behind the surface the
+            # contribution is cos_term-clamped to zero regardless of
+            # occlusion, so the shadow traversal is skipped exactly
+            # (voxels.comp:339-361 pays it unconditionally).
+            cos_term = jnp.maximum(0.0, _dot3(nx, ny, nz, shx, shy, shz))
             obst_i, _, _, _, _, s_iters = traverse(
-                table_ref, l2_ref, (sox, soy, soz), (shx, shy, shz),
-                mask=hit & (~specular) & (sun_strength > 0.0),
+                table_ref, (sox, soy, soz), (shx, shy, shz),
+                mask=hit & (~specular) & (sun_strength > 0.0)
+                & (cos_term > 0.0),
             )
             iter_counts.append(s_iters)
-            cos_term = jnp.maximum(0.0, _dot3(nx, ny, nz, shx, shy, shz))
             sun_on = sun_strength > 0.0
             sun_ok = (obst_i == 0) & sun_on
 
@@ -779,8 +707,15 @@ def _make_kernel(
         albedo_g_ref[:] = jnp.where(emiss_first, 1.0, fg)
         albedo_b_ref[:] = jnp.where(emiss_first, 1.0, fb)
         dbg = zf
-        for k, itc in enumerate(iter_counts):
-            dbg = jnp.where((fy == 0.0) & (fx == float(k)), itc.astype(jnp.float32), dbg)
+        for k, (itc, srv) in enumerate(iter_counts):
+            dbg = jnp.where(
+                (fy == 0.0) & (fx == float(k)), itc.astype(jnp.float32), dbg
+            )
+            dbg = jnp.where(
+                (fy == 0.0) & (fx == float(8 + k)),
+                srv.astype(jnp.float32),
+                dbg,
+            )
         debug_ref[:] = dbg
 
     return kernel
@@ -793,14 +728,12 @@ def _pad_to(x, m):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dims", "zw", "origin", "n_rows", "l2_dims", "l2_zw", "l2_rows",
-        "height", "width", "interpret", "use_l2", "l2_shift",
-        "max_bounces",
+        "dims", "zw", "origin", "n_rows",
+        "height", "width", "interpret", "max_bounces",
     ),
 )
 def render_sample(
     packed_idx: jnp.ndarray,  # (n_rows, 128) int32
-    l2: jnp.ndarray,  # (l2_rows, 128) int32
     palette: jnp.ndarray,  # (8, 128) int32
     params_vec: jnp.ndarray,  # (1, PARAMS_LEN) f32
     noise_planes: jnp.ndarray,  # (24, H, W) f32
@@ -809,14 +742,9 @@ def render_sample(
     zw: int,
     origin: Tuple[int, int, int],
     n_rows: int,
-    l2_dims: Tuple[int, int, int],
-    l2_zw: int,
-    l2_rows: int,
     height: int,
     width: int,
     interpret: bool = False,
-    use_l2: bool = True,
-    l2_shift: int = 3,
     max_bounces: int = MAX_BOUNCES,
 ) -> Dict[str, jnp.ndarray]:
     """Trace one sample with the Pallas kernel; same output dict as
@@ -826,11 +754,13 @@ def render_sample(
     if (hp, wp) != noise_planes.shape[1:]:
         noise_planes = jnp.pad(
             noise_planes,
-            ((0, 0), (0, hp - height), (0, wp - width)),
+            ((0, 0), (0, hp - noise_planes.shape[1]),
+             (0, wp - noise_planes.shape[2])),
         )
     # noise planes rearranged to the kernel's square-block lane layout
+    # (~5 ms at 720p, far below the serve rounds the layout saves)
     nby, nbx = hp // BLOCK, wp // BLOCK
-    noise_blocks = (
+    noise_planes = (
         noise_planes.reshape(24, nby, BLOCK, nbx, BLOCK)
         .transpose(0, 1, 3, 2, 4)  # (k, i, j, y, x)
         .reshape(24, nby, nbx, TILE_H, TILE_W)  # lane = y*BLOCK + x
@@ -839,10 +769,7 @@ def render_sample(
     )
 
     grid = (nby, nbx)
-    kernel = _make_kernel(
-        dims, zw, origin, n_rows, l2_dims, l2_zw, l2_rows, use_l2,
-        l2_shift=l2_shift, max_bounces=max_bounces,
-    )
+    kernel = _make_kernel(dims, zw, origin, n_rows, max_bounces=max_bounces)
 
     plane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.float32)
     iplane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.int32)
@@ -871,7 +798,6 @@ def render_sample(
                 memory_space=pltpu.SMEM,
             ),
             full((n_rows, 128)),
-            full((l2_rows, 128)),
             full((8, 128)),
             pl.BlockSpec(
                 (24, TILE_H, TILE_W),
@@ -884,7 +810,7 @@ def render_sample(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(params_vec, packed_idx, l2, palette, noise_blocks)
+    )(params_vec, packed_idx, palette, noise_planes)
 
     (cr, cg, cb, nx, ny, nz, depth, node, ar, ag, ab, dbg) = outs
 
@@ -905,5 +831,9 @@ def render_sample(
         "depth": crop(depth),
         "albedo": jnp.stack([crop(ar), crop(ag), crop(ab)], axis=-1),
         "node": crop(node),
-        "debug_iters": dbg[::TILE_H, :8],
+        # per-tile counters at lane (0, k): k<6 outer iterations,
+        # k in 8..13 serve rounds, per traversal phase
+        "debug_iters": dbg[::TILE_H, :].reshape(nby, nbx, TILE_W)[
+            ..., :16
+        ].reshape(nby * nbx, 16),
     }

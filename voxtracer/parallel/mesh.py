@@ -139,14 +139,9 @@ def scene_device_args(scene, trace_impl: str = "all"):
         tuple(int(v) for v in scene.origin),
         int(tables["zw"]),
         int(tables["packed_idx"].shape[0]),
-        tuple(int(d) for d in tables["l2_dims"]),
-        int(tables["l2_zw"]),
-        int(tables["l2"].shape[0]),
-        (tables["l2_occupancy"] < 0.35, int(tables["l2_shift"])),
     )
     arrays = {
         "packed_idx": jnp.asarray(tables["packed_idx"]),
-        "l2": jnp.asarray(tables["l2"]),
         "palette": jnp.asarray(tables["palette"]),
     }
     if trace_impl != "pallas":

@@ -39,6 +39,17 @@ CELL_SIZE = 0.5  # world size of one voxel
 # Pallas renderers all see the identical quantized scene.
 PALETTE_CAPACITY = 1024
 
+# Slots 0..RESERVED_SLOTS-1 of the 10-bit packed index are not palette
+# entries but empty-space distances: an empty cell stores the capped
+# chebyshev distance to the nearest occupied cell, so every fetched word
+# answers "hit what?" OR "how far may I jump?" in one lookup — the TPU
+# equivalent of the octree popping multiple levels at once
+# (voxels.comp:191-221), with no separate skip level to fetch.
+# Palette entries live at slots RESERVED_SLOTS..1023 (972 usable; the
+# procedural quantizer emits at most 897 distinct leaves).
+RESERVED_SLOTS = 32
+DIST_CAP = RESERVED_SLOTS - 1
+
 
 def _ceil_multiple(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -106,11 +117,14 @@ class GridScene:
         """Build the Pallas-kernel tables.
 
         Returns:
-          packed_idx: (rows, 128) int32 — the palette-index grid with 3
-            consecutive-z 10-bit indices packed per word (0 = empty), flat
-            word address ``(x * Y + y) * ceil(Z/3) + z // 3``, padded to a
-            whole number of 128-word rows.
-          palette: (8, 128) int32 — slot -> packed leaf value (slot 0 = 0).
+          packed_idx: (rows, 128) int32 — 3 consecutive-z 10-bit slots
+            packed per word in pillar order, padded to whole 128-word
+            rows.  Slot >= RESERVED_SLOTS: palette entry of an occupied
+            cell.  Slot < RESERVED_SLOTS: the cell is empty and every
+            cell within chebyshev radius slot-1 is empty too (capped
+            distance field baked into the index).
+          palette: (8, 128) int32 — slot -> packed leaf value
+            (slots 0..RESERVED_SLOTS-1 stay 0).
           zw: number of packed words along z (= ceil(Z/3)).
         """
         from .. import native
@@ -118,27 +132,38 @@ class GridScene:
         x_dim, y_dim, z_dim = self.values.shape
         zw = -(-z_dim // 3)
 
-        packed = native.pack_words(self.values, PALETTE_CAPACITY)
+        dist = native.block_dist(self.values, 0, DIST_CAP)
+        if dist is None:
+            dist = _chebyshev_distance(self.values != 0, cap=DIST_CAP)
+
+        packed = native.pack_words(
+            self.values, dist, PALETTE_CAPACITY, RESERVED_SLOTS
+        )
         if packed is not None:
             flat_words, palette, zw = packed
         else:
             zp = zw * 3
             vals = self.values
+            dpad = dist.astype(np.int64)
             if zp != z_dim:
-                vals = np.concatenate(
-                    [vals, np.zeros((x_dim, y_dim, zp - z_dim), np.int32)],
-                    axis=2,
-                )
+                zpad = np.zeros((x_dim, y_dim, zp - z_dim), np.int32)
+                vals = np.concatenate([vals, zpad], axis=2)
+                dpad = np.concatenate([dpad, zpad.astype(np.int64)], axis=2)
             uniq = np.unique(vals)
             uniq = uniq[uniq != 0]
-            assert len(uniq) < PALETTE_CAPACITY, "scene not palettized"
+            assert (
+                len(uniq) < PALETTE_CAPACITY - RESERVED_SLOTS
+            ), "scene not palettized"
             palette = np.zeros(PALETTE_CAPACITY, np.int32)
-            palette[1 : 1 + len(uniq)] = uniq
-            # values -> slots via searchsorted over sorted unique values
+            palette[RESERVED_SLOTS : RESERVED_SLOTS + len(uniq)] = uniq
+            # occupied -> palette slot via searchsorted over sorted
+            # uniques; empty -> its baked jump distance
             flat = vals.reshape(-1)
-            slots = np.zeros(flat.shape, np.int64)
+            slots = dpad.reshape(-1).copy()
             nz = flat != 0
-            slots[nz] = np.searchsorted(uniq, flat[nz]) + 1
+            slots[nz] = (
+                np.searchsorted(uniq, flat[nz]) + RESERVED_SLOTS
+            )
 
             idx3 = slots.reshape(x_dim, y_dim, zw, 3)
             words = (
@@ -160,46 +185,10 @@ class GridScene:
         padded = np.zeros(n_rows * 128, np.int32)
         padded[: len(flat_words)] = flat_words
 
-        # Empty-space-skip level: one occupancy bit per (2^shift)^3-cell
-        # block, 32 bits packed along z per word.  The shift is chosen
-        # per scene: the largest block size that is still mostly empty
-        # skips the most cells per jump; dense-at-every-scale scenes
-        # disable the level entirely (use_l2 False downstream).
-        l2_shift = 3
-        for shift in (3, 2, 1):
-            if len(self.mips) > shift and float(self.mips[shift].mean()) < 0.35:
-                l2_shift = shift
-                break
-        block = (
-            self.mips[l2_shift]
-            if len(self.mips) > l2_shift
-            else (self.values != 0)
-        )
-        bx, by, bz = block.shape
-        bzw = -(-bz // 32)
-        l2_flat = native.block_bits(self.values, l2_shift)
-        if l2_flat is None:
-            bits = np.zeros((bx, by, bzw * 32), bool)
-            bits[:, :, :bz] = block
-            l2_words = np.zeros((bx, by, bzw), np.uint32)
-            for b in range(32):
-                l2_words |= (
-                    bits[:, :, b::32].astype(np.uint32) << np.uint32(b)
-                )
-            l2_flat = l2_words.reshape(-1).view(np.int32)
-        l2_rows = max(1, _ceil_multiple(len(l2_flat), 128) // 128)
-        l2_padded = np.zeros(l2_rows * 128, np.int32)
-        l2_padded[: len(l2_flat)] = l2_flat
-
         return {
             "packed_idx": padded.reshape(n_rows, 128),
             "palette": palette.reshape(8, 128),
             "zw": zw,
-            "l2": l2_padded.reshape(l2_rows, 128),
-            "l2_dims": (bx, by, bz),
-            "l2_zw": bzw,
-            "l2_shift": l2_shift,
-            "l2_occupancy": float(block.mean()),
         }
 
 
@@ -213,7 +202,7 @@ def _quantize_leaves(leaves: np.ndarray) -> np.ndarray:
     scheme would bias each bucket toward its representative's hue).
     """
     uniq = np.unique(leaves)
-    if len(uniq) < PALETTE_CAPACITY:
+    if len(uniq) < PALETTE_CAPACITY - RESERVED_SLOTS:
         return leaves
     v = leaves.astype(np.int64)
     mat = (v >> 24) & 0x7F
@@ -227,6 +216,37 @@ def _quantize_leaves(leaves: np.ndarray) -> np.ndarray:
     bq = (2 * np.minimum(b * 7 // 256, 6) + 1) * 256 // 14
     out = (1 << 31) | (mat << 24) | (rq << 16) | (gq << 8) | bq
     return (out - (1 << 32)).astype(np.int32)
+
+
+def _chebyshev_distance(occ: np.ndarray, cap: int) -> np.ndarray:
+    """Chebyshev (max-norm) distance to the nearest occupied block,
+    capped at ``cap``; 0 where occupied.
+
+    Chamfer iteration with a separable 3-wide min filter: ``k`` rounds
+    make every distance <= k exact, and clamping the rest to ``cap`` is
+    conservative (a shorter jump is always safe).
+    """
+    big = np.uint16(cap + 1)
+    d = np.where(occ, np.uint16(0), big)
+    for _ in range(cap):
+        m = d
+        for axis in range(3):
+            lo = np.roll(m, 1, axis=axis)
+            hi = np.roll(m, -1, axis=axis)
+            # roll wraps; the wrapped slice is re-set to the edge value
+            # (out-of-grid is "empty at infinity", never a tighter min)
+            idx_lo = [slice(None)] * 3
+            idx_lo[axis] = slice(0, 1)
+            lo[tuple(idx_lo)] = big
+            idx_hi = [slice(None)] * 3
+            idx_hi[axis] = slice(-1, None)
+            hi[tuple(idx_hi)] = big
+            m = np.minimum(m, np.minimum(lo, hi))
+        nd = np.minimum(d, m + 1)
+        if np.array_equal(nd, d):
+            break
+        d = nd
+    return np.minimum(d, np.uint16(cap)).astype(np.uint8)
 
 
 def _build_mips(occ0: np.ndarray, num_mips: int) -> List[np.ndarray]:
