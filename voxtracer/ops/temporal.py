@@ -15,8 +15,12 @@ Two execution strategies, chosen statically by the pipeline:
   accumulation): the reprojection is the identity, so history lookups
   are pure elementwise passthrough.  No gathers; everything fuses.
 * ``reproject=True`` — full resampling with 4-tap bilinear history
-  fetches (``jnp.take``).  Correct for arbitrary motion; the Pallas
-  windowed variant will later accelerate the common small-motion case.
+  fetches.  Two resamplers: ``resample_impl="pallas"`` serves taps by
+  distinct integer offset out of a VMEM window
+  (:mod:`voxtracer.ops.reproject_pallas`, ~10x the XLA gather path on
+  TPU; lanes it cannot cover restart accumulation), and
+  ``resample_impl="xla"`` does portable ``jnp.take`` gathers, correct
+  for arbitrary motion.
 """
 
 from __future__ import annotations
@@ -90,6 +94,7 @@ def temporal_blend(
     params,  # TemporalParams
     history_valid,  # scalar bool (False on the first frame)
     reproject: bool,  # static
+    resample_impl: str = "xla",  # static: "pallas" (TPU) or "xla"
 ):
     """Returns (blended_color (H,W,3), next_blending (H,W))."""
     height, width = depth.shape
@@ -116,14 +121,35 @@ def temporal_blend(
         py_f = tex_y * height
         # one 5-channel history fetch: rgb + blending + depth share the
         # same 4 bilinear taps (gathers are expensive on TPU)
-        hist5 = _bilinear(
-            jnp.concatenate(
-                [old_color, old_blend[..., None], old_depth[..., None]],
-                axis=-1,
-            ),
-            px_f,
-            py_f,
+        from . import reproject_pallas
+
+        use_pallas = (
+            resample_impl == "pallas"
+            and height >= reproject_pallas.WIN_H
+            and width >= reproject_pallas.WIN_W
         )
+        if use_pallas:
+            hist_cwh = jnp.stack(
+                [
+                    old_color[..., 0],
+                    old_color[..., 1],
+                    old_color[..., 2],
+                    old_blend,
+                    old_depth,
+                ]
+            )
+            sampled, ok = reproject_pallas.resample(hist_cwh, px_f, py_f)
+            hist5 = jnp.moveaxis(sampled, 0, -1)
+            in_range = in_range & ok
+        else:
+            hist5 = _bilinear(
+                jnp.concatenate(
+                    [old_color, old_blend[..., None], old_depth[..., None]],
+                    axis=-1,
+                ),
+                px_f,
+                py_f,
+            )
         old_nd = hist5[..., 4]
         # Old ray reconstruction quantizes to the pixel lattice
         # (temporal.comp:99-103); int() truncates toward zero.
