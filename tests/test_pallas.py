@@ -39,6 +39,7 @@ def _compare(scene, cam, w=128, h=64, seed=7):
     pvec = trace_pallas.pack_params(cam_arr, params)
     x = trace_pallas.render_sample(
         jnp.asarray(t["packed_idx"]),
+        jnp.asarray(t["super_idx"]),
         jnp.asarray(t["palette"]),
         jnp.asarray(pvec),
         jnp.asarray(planes),
@@ -46,6 +47,9 @@ def _compare(scene, cam, w=128, h=64, seed=7):
         zw=t["zw"],
         origin=tuple(int(v) for v in scene.origin),
         n_rows=t["packed_idx"].shape[0],
+        super_dims=t["super_dims"],
+        super_zw=t["super_zw"],
+        sn_rows=t["super_idx"].shape[0],
         height=h,
         width=w,
         interpret=True,

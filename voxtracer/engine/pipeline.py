@@ -75,7 +75,7 @@ def render_frame_impl(
     reproject: bool,
     trace_impl: str = "xla",
 ):
-    dims, origin, zw, n_rows = scene_meta
+    dims, origin, zw, n_rows, super_dims, super_zw, sn_rows = scene_meta
     planes = noise_op.noise_planes(
         noise_buffer, frame_number, height, width, xp=jnp
     )
@@ -84,6 +84,7 @@ def render_frame_impl(
         params_vec = trace_pallas.pack_params_traced(cam, render_params)
         gbuf = trace_pallas.render_sample(
             scene_arrays["packed_idx"],
+            scene_arrays["super_idx"],
             scene_arrays["palette"],
             params_vec,
             planes,
@@ -91,6 +92,9 @@ def render_frame_impl(
             zw=zw,
             origin=origin,
             n_rows=n_rows,
+            super_dims=super_dims,
+            super_zw=super_zw,
+            sn_rows=sn_rows,
             height=height,
             width=width,
         )

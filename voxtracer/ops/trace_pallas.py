@@ -55,7 +55,7 @@ EMISSIVE_BIT = np.int32(1 << 30)
 MISS_NODE = np.int32(0xFFFFFF)
 RAY_EPS = 1e-5
 BIG_I32 = np.int32(1 << 30)
-WIN_ROWS = 16  # rows per serve window (8 and 32 both measured slower)
+WIN_ROWS = 16  # rows per serve window (8 and 32 measured slower)
 UNROLL = 1  # DDA steps per outer while round (2 measured no better)
 # Lanes cover a square BLOCK x BLOCK pixel region per program (better
 # 3-D locality for the serve loop than a raw TILE_H x TILE_W image
@@ -162,23 +162,65 @@ def _norm_div3(x, y, z):
     return x / n, y / n, z / n
 
 
-def _make_traverse(dims, zw, origin, n_rows):
-    """Build the in-kernel distance-field DDA traversal closure.
+def _serve_loop(ref, n_rows_, waddr, need0, word, cached):
+    """Window-serve per-lane word fetches from ``ref``: each round
+    min-reduces the pending row indices, slices a WIN_ROWS window and
+    broadcast+gathers each row; lanes outside the window retry next
+    round.  Returns (word, cached, rounds)."""
+    rows = waddr >> 7
+    need_i = need0.astype(jnp.int32)
 
-    Words hold palette-index slots in pillar order —
-    ``((x>>2)*ceil(Y/4) + (y>>2))*16 + (x&3)*4 + (y&3)`` selects the
-    column, ``* zw + z // 3`` the word within it.  A slot >=
-    RESERVED_SLOTS is an occupied cell (palette entry); a slot d <
-    RESERVED_SLOTS certifies every cell within chebyshev radius d-1
-    empty, so the ray jumps straight to the exit of that box — one
-    fetch answers both "hit what?" and "how far may I skip?" (the TPU
-    equivalent of the octree popping multiple levels at once,
-    voxels.comp:191-221, without a second acceleration structure).
-    d == 1 degenerates to the exact single-cell DDA step.
+    def serve_round(word_, cached_):
+        needf = (need_i == 1) & (waddr != cached_)
+        r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
+        r_base = jnp.clip(r_min, 0, n_rows_ - WIN_ROWS)
+        window = ref[pl.ds(r_base, WIN_ROWS), :]
+        off = rows - r_base
+        in_win = needf & (off >= 0) & (off < WIN_ROWS)
+        for s8 in range(WIN_ROWS):
+            row_b = jnp.broadcast_to(window[s8 : s8 + 1, :], waddr.shape)
+            g = jnp.take_along_axis(row_b, waddr & 127, axis=1)
+            serve = in_win & (off == s8)
+            word_ = jnp.where(serve, g, word_)
+            cached_ = jnp.where(serve, waddr, cached_)
+        return word_, cached_
+
+    def serve_cond(ss):
+        k, word_, cached_ = ss
+        unserved = (need_i == 1) & (waddr != cached_)
+        return jnp.logical_and(k < 256, unserved.any())
+
+    def serve_body(ss):
+        k, word_, cached_ = ss
+        word_, cached_ = serve_round(word_, cached_)
+        return k + 1, word_, cached_
+
+    kf, word, cached = jax.lax.while_loop(
+        serve_cond, serve_body, (np.int32(0), word, cached)
+    )
+    return word, cached, kf
+
+
+def _make_traverse(dims, zw, origin, n_rows, super_dims, super_zw, sn_rows):
+    """Build the in-kernel supercell DDA traversal closure.
+
+    The march runs on the SUPERCELL table (2x2x2 fine cells per 10-bit
+    value, ``GridScene.device_tables``): an occupied supercell (bit 9)
+    carries its 8-bit child mask, so fine-cell hits resolve with pure
+    arithmetic and zero further fetches; an empty supercell carries a
+    9-bit chebyshev distance d certifying every supercell within
+    radius d-1 empty, so the ray jumps to the exit of that box (the
+    TPU equivalent of the octree popping levels at once,
+    voxels.comp:191-221).  The fine palette table is consulted exactly
+    once per traversal — to resolve the slot at the recorded hit cell
+    — instead of at every step, cutting the scatter-limited serve
+    traffic by the supercell factor.
     """
     X, Y, Z = (int(d) for d in dims)
+    HX, HY, HZ = (int(d) for d in super_dims)
     assert Z < 32768, f"z extent {Z} exceeds the _div3 exact range"
     PY4 = -(-Y // 4)
+    HY4 = -(-HY // 4)
     oxi, oyi, ozi = (int(o) for o in origin)
     wlo = (oxi * CELL_SIZE, oyi * CELL_SIZE, ozi * CELL_SIZE)
     whi = (
@@ -187,8 +229,8 @@ def _make_traverse(dims, zw, origin, n_rows):
         (ozi + Z) * CELL_SIZE,
     )
 
-    def traverse(table_ref, o3, d3, mask=None):
-        """Returns (hit i32, t, slot i32, fused, normal tuple).
+    def traverse(table_ref, super_ref, o3, d3, mask=None):
+        """Returns (hit i32, t, slot i32, fused, normal tuple, counters).
 
         ``mask`` (bool) gates which lanes traverse at all — dead paths
         and missed parents skip the march entirely.
@@ -237,12 +279,12 @@ def _make_traverse(dims, zw, origin, n_rows):
         zero_f = jnp.zeros_like(t0)
 
         def cond(s):
-            it, active = s[0], s[2]
+            it, active = s[0], s[3]
             return jnp.logical_and(it < MAX_OUTER_ITERS, jnp.max(active) > 0)
 
         def one_step(
-            nserv, active, cx, cy, cz, t, cached, word,
-            hit, hit_t, hcx, hcy, hcz, hslot,
+            nserv, nact, active, cx, cy, cz, t, cached, word,
+            hit, hit_t, hcx, hcy, hcz,
         ):
             # 1. bounds check (oracle order: before the value test)
             inb = (
@@ -255,101 +297,73 @@ def _make_traverse(dims, zw, origin, n_rows):
             ).astype(jnp.int32)
             active = active * inb
             act = active == 1
-            act_i = active
 
-            # 2. fetch the word for the current cell.  Window serve: one
-            # 8-row dynamic slice anchored at the minimum pending row
-            # satisfies every lane whose row falls in [r_min,
-            # r_min+WIN_ROWS) — the pillar layout clusters a ray
-            # neighborhood's rows, so ONE inline round (no loop-control
-            # overhead) usually serves everyone; stragglers drain in the
-            # while loop.
-            czw = _div3(cz)
-            col = ((cx >> 2) * PY4 + (cy >> 2)) * 16 + ((cx & 3) << 2) + (
-                cy & 3
+            # 2. fetch the supercell word
+            hx = cx >> 1
+            hy = cy >> 1
+            hz = cz >> 1
+            hzw3 = _div3(hz)
+            col = ((hx >> 2) * HY4 + (hy >> 2)) * 16 + ((hx & 3) << 2) + (
+                hy & 3
             )
-            waddr = col * zw + czw
-            waddr = jnp.where(act, waddr, 0)
-            rows = waddr >> 7
-
-            def serve_round(word_, cached_):
-                needf = (act_i == 1) & (waddr != cached_)
-                r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
-                r_base = jnp.clip(r_min, 0, n_rows - WIN_ROWS)
-                window = table_ref[pl.ds(r_base, WIN_ROWS), :]
-                off = rows - r_base
-                in_win = needf & (off >= 0) & (off < WIN_ROWS)
-                for s8 in range(WIN_ROWS):
-                    row_b = jnp.broadcast_to(
-                        window[s8 : s8 + 1, :], waddr.shape
-                    )
-                    g = jnp.take_along_axis(row_b, waddr & 127, axis=1)
-                    serve = in_win & (off == s8)
-                    word_ = jnp.where(serve, g, word_)
-                    cached_ = jnp.where(serve, waddr, cached_)
-                return word_, cached_
-
-            word, cached = serve_round(word, cached)
-
-            def serve_cond(ss):
-                k, word_, cached_ = ss
-                unserved = (act_i == 1) & (waddr != cached_)
-                return jnp.logical_and(k < 256, unserved.any())
-
-            def serve_body(ss):
-                k, word_, cached_ = ss
-                word_, cached_ = serve_round(word_, cached_)
-                return k + 1, word_, cached_
-
-            kf, word, cached = jax.lax.while_loop(
-                serve_cond, serve_body, (np.int32(0), word, cached)
+            waddr = jnp.where(act, col * super_zw + hzw3, 0)
+            word, cached, kf = _serve_loop(
+                super_ref, sn_rows, waddr, act, word, cached
             )
             nserv = nserv + 1 + kf
+            nact = nact + jnp.sum(active)
 
-            czr = cz - czw * 3
-            slot = (word >> (czr * 10)) & 1023
+            val = (word >> ((hz - hzw3 * 3) * 10)) & 1023
+            occ_super = (val & 0x200) != 0
 
-            # 3. occupied cell: record the hit and retire the lane
-            found = act & (slot >= RESERVED_SLOTS)
+            # 3. occupied supercell: child mask answers the fine cell
+            # with no further fetch
+            childbit = ((cx & 1) << 2) | ((cy & 1) << 1) | (cz & 1)
+            found = act & occ_super & (((val >> childbit) & 1) == 1)
             hit = jnp.where(found, 1, hit)
             hit_t = jnp.where(found, t, hit_t)
             hcx = jnp.where(found, cx, hcx)
             hcy = jnp.where(found, cy, hcy)
             hcz = jnp.where(found, cz, hcz)
-            hslot = jnp.where(found, slot, hslot)
             active = active * (1 - found.astype(jnp.int32))
 
-            # 4. empty cell: jump to the exit of the certified-empty
-            # box [c-(d-1), c+d).  d == 1 is exactly the classic DDA
-            # single-cell step; larger d skips whole empty regions.
+            # 4. advance.  Occupied supercell, empty child: exact
+            # single-fine-cell DDA step (box = the cell itself).  Empty
+            # supercell with distance d: jump to the exit of the
+            # certified-empty fine-cell box [ (h-d+1)*2, (h+d)*2 ).
             step = act & (~found)
-            d = jnp.maximum(slot, 1)
+            d = jnp.maximum(val & 0x1FF, 1)
+            lox = jnp.where(occ_super, cx, (hx - d + 1) << 1)
+            hix = jnp.where(occ_super, cx + 1, (hx + d) << 1)
+            loy = jnp.where(occ_super, cy, (hy - d + 1) << 1)
+            hiy = jnp.where(occ_super, cy + 1, (hy + d) << 1)
+            loz = jnp.where(occ_super, cz, (hz - d + 1) << 1)
+            hiz = jnp.where(occ_super, cz + 1, (hz + d) << 1)
 
-            def bt_axis(c, og, sgn, o, inv):
-                bnd = jnp.where(sgn > 0, c + d, c - d + 1)
+            def bt_axis(lo, hi, og, sgn, o, inv):
+                bnd = jnp.where(sgn > 0, hi, lo)
                 nb = (og + bnd.astype(jnp.float32)) * CELL_SIZE
                 return jnp.where(sgn != 0, (nb - o) * inv, inf)
 
-            btx = bt_axis(cx, float(oxi), sx, ox_, invx)
-            bty = bt_axis(cy, float(oyi), sy, oy_, invy)
-            btz = bt_axis(cz, float(ozi), sz, oz_, invz)
+            btx = bt_axis(lox, hix, float(oxi), sx, ox_, invx)
+            bty = bt_axis(loy, hiy, float(oyi), sy, oy_, invy)
+            btz = bt_axis(loz, hiz, float(ozi), sz, oz_, invz)
             bt = jnp.minimum(jnp.minimum(btx, bty), btz)
             bsx = (btx <= bty) & (btx <= btz)
             bsy = (~bsx) & (bty <= btz)
             bsz = (~bsx) & (~bsy)
-            jx = jnp.where(sx > 0, cx + d, cx - d)
-            jy = jnp.where(sy > 0, cy + d, cy - d)
-            jz = jnp.where(sz > 0, cz + d, cz - d)
-            # crossing axis moves exactly d cells (monotone, so the
-            # march always terminates); for d == 1 the other axes hold
-            # (exact DDA), for d > 1 they follow the ray to the box exit
-            d1 = slot <= 1
+            jx = jnp.where(sx > 0, hix, lox - 1)
+            jy = jnp.where(sy > 0, hiy, loy - 1)
+            jz = jnp.where(sz > 0, hiz, loz - 1)
+            # crossing axis exits the box exactly (monotone, so the
+            # march always terminates); single-cell boxes hold the
+            # other axes (exact DDA), larger boxes follow the ray
             fxc = cell_from_float(ox_, dx, bt, float(oxi))
             fyc = cell_from_float(oy_, dy, bt, float(oyi))
             fzc = cell_from_float(oz_, dz, bt, float(ozi))
-            ncx = jnp.where(bsx, jx, jnp.where(d1, cx, fxc))
-            ncy = jnp.where(bsy, jy, jnp.where(d1, cy, fyc))
-            ncz = jnp.where(bsz, jz, jnp.where(d1, cz, fzc))
+            ncx = jnp.where(bsx, jx, jnp.where(occ_super, cx, fxc))
+            ncy = jnp.where(bsy, jy, jnp.where(occ_super, cy, fyc))
+            ncz = jnp.where(bsz, jz, jnp.where(occ_super, cz, fzc))
 
             cx = jnp.where(step, ncx, cx)
             cy = jnp.where(step, ncy, cy)
@@ -360,6 +374,7 @@ def _make_traverse(dims, zw, origin, n_rows):
 
             return (
                 nserv,
+                nact,
                 active,
                 cx,
                 cy,
@@ -372,14 +387,9 @@ def _make_traverse(dims, zw, origin, n_rows):
                 hcx,
                 hcy,
                 hcz,
-                hslot,
             )
 
         def body(s):
-            # UNROLL DDA steps per while round: outer loop control costs
-            # microseconds on TPU, comparable to the ~35-op serve round
-            # itself; unrolling halves it (lanes that retire mid-round
-            # are masked, and their serve loops vacuously skip)
             rest = s[1:]
             for _ in range(UNROLL):
                 rest = one_step(*rest)
@@ -388,6 +398,7 @@ def _make_traverse(dims, zw, origin, n_rows):
         state = (
             np.int32(0),
             np.int32(0),  # serve-round counter (perf instrumentation)
+            np.int32(0),  # total active-lane-iterations (instrumentation)
             active0,
             cx,
             cy,
@@ -400,12 +411,12 @@ def _make_traverse(dims, zw, origin, n_rows):
             zero_i,
             zero_i,
             zero_i,
-            zero_i,  # hit slot
         )
         out = jax.lax.while_loop(cond, body, state)
         (
             n_iters,
             n_serves,
+            n_act,
             active,
             cx,
             cy,
@@ -418,7 +429,6 @@ def _make_traverse(dims, zw, origin, n_rows):
             hcx,
             hcy,
             hcz,
-            hslot,
         ) = out
 
         # iteration fuse -> opaque black leaf (voxels.comp:166-169)
@@ -428,6 +438,24 @@ def _make_traverse(dims, zw, origin, n_rows):
         hcx = jnp.where(fused, cx, hcx)
         hcy = jnp.where(fused, cy, hcy)
         hcz = jnp.where(fused, cz, hcz)
+        hitb = hit == 1
+
+        # resolve the palette slot at the hit cell from the fine table
+        # (one serve for the whole traversal; fused lanes render as
+        # opaque black and skip it)
+        need_slot = hitb & (~fused)
+        fzw = _div3(hcz)
+        fcol = ((hcx >> 2) * PY4 + (hcy >> 2)) * 16 + ((hcx & 3) << 2) + (
+            hcy & 3
+        )
+        fwaddr = jnp.where(need_slot, fcol * zw + fzw, 0)
+        fword, _, kf2 = _serve_loop(
+            table_ref, n_rows, fwaddr, need_slot, zero_i, zero_i - 1
+        )
+        hslot = jnp.where(
+            need_slot, (fword >> ((hcz - fzw * 3) * 10)) & 1023, 0
+        )
+        n_serves = n_serves + kf2
 
         # normal: dominant axis of (hit point - cell center), sign
         # opposing the ray; exact ties set several components
@@ -442,22 +470,27 @@ def _make_traverse(dims, zw, origin, n_rows):
         ay = jnp.abs(py - ccy)
         az = jnp.abs(pz - ccz)
         m = jnp.maximum(jnp.maximum(ax, ay), az)
-        hitb = hit == 1
         nx = jnp.where((ax == m) & hitb, -jnp.sign(dx), 0.0)
         ny = jnp.where((ay == m) & hitb, -jnp.sign(dy), 0.0)
         nz = jnp.where((az == m) & hitb, -jnp.sign(dz), 0.0)
 
-        return hit, hit_t, hslot, fused, (nx, ny, nz), (n_iters, n_serves)
+        return hit, hit_t, hslot, fused, (nx, ny, nz), (n_iters, n_serves, n_act)
 
     return traverse
 
 
-def _make_kernel(dims, zw, origin, n_rows, max_bounces=MAX_BOUNCES):
-    traverse = _make_traverse(dims, zw, origin, n_rows)
+def _make_kernel(
+    dims, zw, origin, n_rows, super_dims, super_zw, sn_rows,
+    max_bounces=MAX_BOUNCES,
+):
+    traverse = _make_traverse(
+        dims, zw, origin, n_rows, super_dims, super_zw, sn_rows
+    )
 
     def kernel(
         params_ref,  # (1, PARAMS_LEN) f32 SMEM
         table_ref,  # (n_rows, 128) int32 VMEM
+        super_ref,  # (sn_rows, 128) int32 VMEM
         palette_ref,  # (8, 128) int32 VMEM
         noise_ref,  # (24, TILE_H, TILE_W) f32 VMEM
         color_r_ref,
@@ -545,7 +578,7 @@ def _make_kernel(dims, zw, origin, n_rows, max_bounces=MAX_BOUNCES):
         for bounce in range(max_bounces):
             k0 = RANDS_PER_BOUNCE * bounce
             hit_i, t, slot, fused, (nx, ny, nz), t_iters = traverse(
-                table_ref, (rox, roy, roz), (rdx, rdy, rdz),
+                table_ref, super_ref, (rox, roy, roz), (rdx, rdy, rdz),
                 mask=(alive == 1),
             )
             iter_counts.append(t_iters)  # (n_iters, n_serves)
@@ -610,7 +643,7 @@ def _make_kernel(dims, zw, origin, n_rows, max_bounces=MAX_BOUNCES):
             # (voxels.comp:339-361 pays it unconditionally).
             cos_term = jnp.maximum(0.0, _dot3(nx, ny, nz, shx, shy, shz))
             obst_i, _, _, _, _, s_iters = traverse(
-                table_ref, (sox, soy, soz), (shx, shy, shz),
+                table_ref, super_ref, (sox, soy, soz), (shx, shy, shz),
                 mask=hit & (~specular) & (sun_strength > 0.0)
                 & (cos_term > 0.0),
             )
@@ -707,13 +740,18 @@ def _make_kernel(dims, zw, origin, n_rows, max_bounces=MAX_BOUNCES):
         albedo_g_ref[:] = jnp.where(emiss_first, 1.0, fg)
         albedo_b_ref[:] = jnp.where(emiss_first, 1.0, fb)
         dbg = zf
-        for k, (itc, srv) in enumerate(iter_counts):
+        for k, (itc, srv, nac) in enumerate(iter_counts):
             dbg = jnp.where(
                 (fy == 0.0) & (fx == float(k)), itc.astype(jnp.float32), dbg
             )
             dbg = jnp.where(
                 (fy == 0.0) & (fx == float(8 + k)),
                 srv.astype(jnp.float32),
+                dbg,
+            )
+            dbg = jnp.where(
+                (fy == 0.0) & (fx == float(16 + k)),
+                nac.astype(jnp.float32),
                 dbg,
             )
         debug_ref[:] = dbg
@@ -728,12 +766,13 @@ def _pad_to(x, m):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dims", "zw", "origin", "n_rows",
-        "height", "width", "interpret", "max_bounces",
+        "dims", "zw", "origin", "n_rows", "super_dims", "super_zw",
+        "sn_rows", "height", "width", "interpret", "max_bounces",
     ),
 )
 def render_sample(
     packed_idx: jnp.ndarray,  # (n_rows, 128) int32
+    super_idx: jnp.ndarray,  # (sn_rows, 128) int32
     palette: jnp.ndarray,  # (8, 128) int32
     params_vec: jnp.ndarray,  # (1, PARAMS_LEN) f32
     noise_planes: jnp.ndarray,  # (24, H, W) f32
@@ -742,6 +781,9 @@ def render_sample(
     zw: int,
     origin: Tuple[int, int, int],
     n_rows: int,
+    super_dims: Tuple[int, int, int],
+    super_zw: int,
+    sn_rows: int,
     height: int,
     width: int,
     interpret: bool = False,
@@ -769,7 +811,10 @@ def render_sample(
     )
 
     grid = (nby, nbx)
-    kernel = _make_kernel(dims, zw, origin, n_rows, max_bounces=max_bounces)
+    kernel = _make_kernel(
+        dims, zw, origin, n_rows, super_dims, super_zw, sn_rows,
+        max_bounces=max_bounces,
+    )
 
     plane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.float32)
     iplane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.int32)
@@ -798,6 +843,7 @@ def render_sample(
                 memory_space=pltpu.SMEM,
             ),
             full((n_rows, 128)),
+            full((sn_rows, 128)),
             full((8, 128)),
             pl.BlockSpec(
                 (24, TILE_H, TILE_W),
@@ -810,7 +856,7 @@ def render_sample(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(params_vec, packed_idx, palette, noise_planes)
+    )(params_vec, packed_idx, super_idx, palette, noise_planes)
 
     (cr, cg, cb, nx, ny, nz, depth, node, ar, ag, ab, dbg) = outs
 
@@ -834,6 +880,6 @@ def render_sample(
         # per-tile counters at lane (0, k): k<6 outer iterations,
         # k in 8..13 serve rounds, per traversal phase
         "debug_iters": dbg[::TILE_H, :].reshape(nby, nbx, TILE_W)[
-            ..., :16
-        ].reshape(nby * nbx, 16),
+            ..., :24
+        ].reshape(nby * nbx, 24),
     }

@@ -139,9 +139,13 @@ def scene_device_args(scene, trace_impl: str = "all"):
         tuple(int(v) for v in scene.origin),
         int(tables["zw"]),
         int(tables["packed_idx"].shape[0]),
+        tuple(int(d) for d in tables["super_dims"]),
+        int(tables["super_zw"]),
+        int(tables["super_idx"].shape[0]),
     )
     arrays = {
         "packed_idx": jnp.asarray(tables["packed_idx"]),
+        "super_idx": jnp.asarray(tables["super_idx"]),
         "palette": jnp.asarray(tables["palette"]),
     }
     if trace_impl != "pallas":

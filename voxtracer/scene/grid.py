@@ -50,6 +50,10 @@ PALETTE_CAPACITY = 1024
 RESERVED_SLOTS = 32
 DIST_CAP = RESERVED_SLOTS - 1
 
+# Supercell (2x2x2) table: empty supercells carry a 9-bit capped
+# chebyshev distance in supercell units (bit 9 = occupied flag).
+SUPER_DIST_CAP = 511
+
 
 def _ceil_multiple(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -185,10 +189,72 @@ class GridScene:
         padded = np.zeros(n_rows * 128, np.int32)
         padded[: len(flat_words)] = flat_words
 
+        # Supercell table: one 10-bit value per 2x2x2 fine-cell block,
+        # 3 consecutive-z supercells per word, same pillar order at
+        # half resolution.  Bit 9 set: occupied, bits 0-7 = child
+        # occupancy mask (bit = (x&1)<<2 | (y&1)<<1 | (z&1)).  Bit 9
+        # clear: 9-bit capped chebyshev distance (in supercells) to the
+        # nearest occupied supercell.  The trace kernel marches this
+        # table — ~8x smaller than the fine one, and a whole occupied
+        # supercell traverses mask-arithmetically with no further
+        # fetches — and touches the fine table only to resolve the
+        # palette slot at actual hits.
+        occ = self.values != 0
+        hx, hy, hz = x_dim // 2, y_dim // 2, -(-z_dim // 2)
+        occ_p = occ
+        if hz * 2 != z_dim:
+            occ_p = np.concatenate(
+                [occ, np.zeros((x_dim, y_dim, 1), bool)], axis=2
+            )
+        kids = occ_p.reshape(hx, 2, hy, 2, hz, 2)
+        mask = np.zeros((hx, hy, hz), np.uint16)
+        for bx in range(2):
+            for by in range(2):
+                for bz in range(2):
+                    bit = (bx << 2) | (by << 1) | bz
+                    mask |= kids[:, bx, :, by, :, bz].astype(
+                        np.uint16
+                    ) << np.uint16(bit)
+        sup_d = native.block_dist(self.values, 1, SUPER_DIST_CAP)
+        if sup_d is None:
+            sup_d = _chebyshev_distance(mask > 0, cap=SUPER_DIST_CAP)
+        sup_val = np.where(
+            mask > 0, np.uint16(0x200) | mask, sup_d.astype(np.uint16)
+        ).astype(np.int64)
+
+        hzw = -(-hz // 3)
+        if hzw * 3 != hz:
+            sup_val = np.concatenate(
+                [
+                    sup_val,
+                    np.zeros((hx, hy, hzw * 3 - hz), np.int64),
+                ],
+                axis=2,
+            )
+        sup_words = (
+            (
+                sup_val.reshape(hx, hy, hzw, 3)
+                << np.array([0, 10, 20], np.int64)
+            ).sum(axis=3)
+        ).astype(np.uint32)
+        assert hx % 4 == 0 and hy % 4 == 0
+        sup_flat = (
+            sup_words.reshape(hx // 4, 4, hy // 4, 4, hzw)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(-1)
+            .view(np.int32)
+        )
+        sn_rows = max(16, _ceil_multiple(len(sup_flat), 128) // 128)
+        sup_padded = np.zeros(sn_rows * 128, np.int32)
+        sup_padded[: len(sup_flat)] = sup_flat
+
         return {
             "packed_idx": padded.reshape(n_rows, 128),
             "palette": palette.reshape(8, 128),
             "zw": zw,
+            "super_idx": sup_padded.reshape(sn_rows, 128),
+            "super_dims": (hx, hy, hz),
+            "super_zw": hzw,
         }
 
 
