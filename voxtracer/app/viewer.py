@@ -5,16 +5,26 @@ The reference presents through a winit window with an egui debug panel
 display, but any ssh terminal does: frames render to 24-bit ANSI
 half-block cells, the fly camera runs on the same key bindings
 (WASD/QE move, arrow keys look — terminals deliver no mouse deltas or
-key-up events, so look is arrow-stepped), and the debug panel's
-parameters are live on number keys.
+key-up events, so look is arrow-stepped), and every live slider of the
+reference's egui panel has a live key binding here.
 
-Controls:
-  w/a/s/d/q/e  move (hold-ish: each keypress steps 1/fps of movement)
+Controls (every egui slider, src/context.rs:1692-1827):
+  w/a/s/d/q/e  move (each keypress steps 1/15 s of movement)
   arrows       look around
-  [ / ]        sun yaw          - / =   sun strength
-  ; / '        denoise radius   , / .   specularity
+  [ / ]        sun yaw          { / }   sun pitch
+  - / =        sun strength     _ / +   sun size
+  , / .        specularity      v / V   emit strength
+  f / F        temporal blending factor
+  x / X        temporal maximum blending
+  c / C        temporal distance cutoff (log scale)
+  ; / '        denoise radius (0..8; recompiles, like a pipeline rebuild)
+  g / G        denoise sigma distance
+  h / H        denoise sigma range
+  b / B        albedo factor
   m            cycle scene      r       reset accumulation
   p            save snapshot    ESC/ctrl-c  quit
+(sun color / sky color are CLI flags --sun-color/--sky-color; a
+terminal has no color picker widget.)
 
 Run: ``python -m voxtracer.app.viewer --scene menger --size 256x144``
 """
@@ -49,6 +59,155 @@ def _halfblock_frame(img: np.ndarray) -> str:
     return "\n".join(rows)
 
 
+class ViewerState:
+    """Key-driven live parameter panel — the egui window's state machine,
+    separated from curses so tests can drive it directly.
+
+    Every slider in the reference's debug panel
+    (``src/context.rs:1692-1827``) maps to a key pair; ranges and
+    defaults match the egui widgets.
+    """
+
+    def __init__(self, renderer: Renderer, controller: FlyController,
+                 scenes=None, scene_idx: int = 0):
+        self.renderer = renderer
+        self.ctl = controller
+        self.scenes = scenes or ["default"]
+        self.scene_idx = scene_idx
+        self.move_step = 1.0 / 15.0
+        self.look_pixels = 40.0
+
+    # -- helpers ------------------------------------------------------
+    def _render(self, **kv):
+        r = self.renderer
+        r.render_params = dataclasses.replace(r.render_params, **kv)
+
+    def _temporal(self, **kv):
+        r = self.renderer
+        r.temporal_params = dataclasses.replace(r.temporal_params, **kv)
+
+    def _denoise(self, **kv):
+        r = self.renderer
+        r.denoise_params = dataclasses.replace(r.denoise_params, **kv)
+
+    def cycle_scene(self):
+        self.scene_idx = (self.scene_idx + 1) % len(self.scenes)
+        try:
+            self.renderer.set_scene(load_scene(self.scenes[self.scene_idx]))
+        except Exception:
+            # keep rendering the old scene, like the reference's
+            # vox-load failure path (src/context.rs:1817-1818)
+            pass
+
+    def handle_key(self, c: str) -> bool:
+        """Apply one key. Returns False for quit, True otherwise."""
+        rp = self.renderer.render_params
+        tp = self.renderer.temporal_params
+        dp = self.renderer.denoise_params
+        if c == "\x1b":
+            return False
+        elif c in "wasdqe":
+            self.ctl.pressed = {c}
+            self.ctl.update(self.move_step)
+            self.ctl.pressed = set()
+        elif c == "[":
+            self._render(sun_yaw=rp.sun_yaw - 0.1)
+        elif c == "]":
+            self._render(sun_yaw=rp.sun_yaw + 0.1)
+        elif c == "{":
+            self._render(sun_pitch=max(0.0, rp.sun_pitch - 0.1))
+        elif c == "}":
+            self._render(sun_pitch=min(np.pi / 2, rp.sun_pitch + 0.1))
+        elif c == "-":
+            self._render(sun_strength=max(0.0, rp.sun_strength - 0.5))
+        elif c == "=":
+            self._render(sun_strength=min(10.0, rp.sun_strength + 0.5))
+        elif c == "_":
+            self._render(sun_size=max(0.0, rp.sun_size - 0.01))
+        elif c == "+":
+            self._render(sun_size=min(1.0, rp.sun_size + 0.01))
+        elif c == ",":
+            self._render(specularity=max(0.0, rp.specularity - 0.1))
+        elif c == ".":
+            self._render(specularity=min(1.0, rp.specularity + 0.1))
+        elif c == "v":
+            self._render(emit_strength=max(0.0, rp.emit_strength - 0.5))
+        elif c == "V":
+            self._render(emit_strength=min(32.0, rp.emit_strength + 0.5))
+        elif c == "f":
+            self._temporal(
+                sample_blending=max(0.0, tp.sample_blending - 0.05)
+            )
+        elif c == "F":
+            self._temporal(
+                sample_blending=min(1.0, tp.sample_blending + 0.05)
+            )
+        elif c == "x":
+            self._temporal(
+                maximum_blending=max(0.0, tp.maximum_blending - 0.01)
+            )
+        elif c == "X":
+            self._temporal(
+                maximum_blending=min(1.0, tp.maximum_blending + 0.01)
+            )
+        elif c == "c":
+            self._temporal(
+                blending_distance_cutoff=max(
+                    1e-6, tp.blending_distance_cutoff / 1.5
+                )
+            )
+        elif c == "C":
+            self._temporal(
+                blending_distance_cutoff=min(
+                    1.0, tp.blending_distance_cutoff * 1.5
+                )
+            )
+        elif c == ";":
+            self.renderer.denoise_radius = max(
+                0, self.renderer.denoise_radius - 1
+            )
+        elif c == "'":
+            self.renderer.denoise_radius = min(
+                8, self.renderer.denoise_radius + 1
+            )
+        elif c == "g":
+            self._denoise(sigma_distance=max(0.25, dp.sigma_distance - 0.25))
+        elif c == "G":
+            self._denoise(sigma_distance=min(8.0, dp.sigma_distance + 0.25))
+        elif c == "h":
+            self._denoise(sigma_range=max(0.25, dp.sigma_range - 0.25))
+        elif c == "H":
+            self._denoise(sigma_range=min(8.0, dp.sigma_range + 0.25))
+        elif c == "b":
+            self._denoise(albedo_factor=max(0.0, dp.albedo_factor - 0.1))
+        elif c == "B":
+            self._denoise(albedo_factor=min(1.0, dp.albedo_factor + 0.1))
+        elif c == "m":
+            self.cycle_scene()
+        elif c == "r":
+            self.renderer.reset_accumulation()
+        elif c == "p":
+            from ..engine import snapshot
+
+            snapshot.save("viewer_snapshot.npz", self.renderer,
+                          self.ctl.camera)
+        return True
+
+    def status_line(self, fps: float) -> str:
+        r = self.renderer
+        mrays = r.height * r.width * fps / 1e6  # primary rays (1 spp)
+        return (
+            f" {self.scenes[self.scene_idx]} {r.width}x{r.height} "
+            f"fps:{fps:5.1f} Mray/s:{mrays:6.1f} "
+            f"sun:{r.render_params.sun_strength:.1f}"
+            f"@{r.render_params.sun_yaw:.2f}/{r.render_params.sun_pitch:.2f} "
+            f"spec:{r.render_params.specularity:.1f} "
+            f"tf:{r.temporal_params.sample_blending:.2f} "
+            f"r:{r.denoise_radius} "
+            f"[wasdqe move, arrows look, m scene, ESC quit]"
+        )
+
+
 def run_viewer(args) -> int:
     import curses
 
@@ -57,7 +216,6 @@ def run_viewer(args) -> int:
         scenes.index(args.scene) if args.scene in scenes else 0
     )
     width, height = (int(v) for v in args.size.lower().split("x"))
-
     renderer = Renderer(
         scene=load_scene(scenes[scene_idx]),
         height=height,
@@ -72,22 +230,19 @@ def run_viewer(args) -> int:
     d = cam0.direction / np.linalg.norm(cam0.direction)
     ctl.pitch = float(np.arcsin(d[1]))
     ctl.yaw = float(np.arctan2(d[0], d[2]))
+    vs = ViewerState(renderer, ctl, scenes, scene_idx)
 
     def loop(stdscr):
         curses.curs_set(0)
         stdscr.nodelay(True)
         fps = FpsCounter()
-        nonlocal scene_idx
-        step = 1.0 / 15.0
-        look = 40.0  # pixels per arrow tap
+        look = vs.look_pixels
         while True:
             # drain input
             while True:
                 ch = stdscr.getch()
                 if ch == -1:
                     break
-                if ch in (27,):  # ESC
-                    return
                 key = {
                     curses.KEY_UP: ("look", 0, -look),
                     curses.KEY_DOWN: ("look", 0, look),
@@ -99,63 +254,8 @@ def run_viewer(args) -> int:
                     ctl.mouse_delta(key[1], key[2])
                     continue
                 c = chr(ch) if 0 < ch < 256 else ""
-                if c in "wasdqe":
-                    ctl.pressed = {c}
-                    ctl.update(step)
-                    ctl.pressed = set()
-                elif c == "[":
-                    renderer.render_params = dataclasses.replace(
-                        renderer.render_params,
-                        sun_yaw=renderer.render_params.sun_yaw - 0.1,
-                    )
-                elif c == "]":
-                    renderer.render_params = dataclasses.replace(
-                        renderer.render_params,
-                        sun_yaw=renderer.render_params.sun_yaw + 0.1,
-                    )
-                elif c == "-":
-                    renderer.render_params = dataclasses.replace(
-                        renderer.render_params,
-                        sun_strength=max(
-                            0.0, renderer.render_params.sun_strength - 0.5
-                        ),
-                    )
-                elif c == "=":
-                    renderer.render_params = dataclasses.replace(
-                        renderer.render_params,
-                        sun_strength=min(
-                            10.0, renderer.render_params.sun_strength + 0.5
-                        ),
-                    )
-                elif c == ",":
-                    renderer.render_params = dataclasses.replace(
-                        renderer.render_params,
-                        specularity=max(
-                            0.0, renderer.render_params.specularity - 0.1
-                        ),
-                    )
-                elif c == ".":
-                    renderer.render_params = dataclasses.replace(
-                        renderer.render_params,
-                        specularity=min(
-                            1.0, renderer.render_params.specularity + 0.1
-                        ),
-                    )
-                elif c == "m":
-                    scene_idx = (scene_idx + 1) % len(scenes)
-                    try:
-                        renderer.set_scene(load_scene(scenes[scene_idx]))
-                    except Exception:
-                        # keep rendering the old scene, like the
-                        # reference's vox-load failure path
-                        # (src/context.rs:1817-1818)
-                        pass
-                elif c == "r":
-                    renderer.reset_accumulation()
-                elif c == "p":
-                    from ..engine import snapshot
-
-                    snapshot.save("viewer_snapshot.npz", renderer, ctl.camera)
+                if not vs.handle_key(c):
+                    return
 
             cam = ctl.update(0.0)
             out = renderer.render(cam)
@@ -170,13 +270,10 @@ def run_viewer(args) -> int:
             try:
                 for i, line in enumerate(frame.split("\n")):
                     stdscr.addstr(i, 0, line)
-                status = (
-                    f" {scenes[scene_idx]} {width}x{height} "
-                    f"fps:{fps.fps:5.1f} sun:{renderer.render_params.sun_strength:.1f} "
-                    f"spec:{renderer.render_params.specularity:.1f} "
-                    f"[wasdqe move, arrows look, m scene, ESC quit]"
+                status = vs.status_line(fps.fps)
+                stdscr.addstr(
+                    min(rows - 1, vis_h // 2 + 1), 0, status[: cols - 1]
                 )
-                stdscr.addstr(min(rows - 1, vis_h // 2 + 1), 0, status[: cols - 1])
             except curses.error:
                 pass
             stdscr.refresh()
