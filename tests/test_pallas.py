@@ -40,6 +40,7 @@ def _compare(scene, cam, w=128, h=64, seed=7):
     x = trace_pallas.render_sample(
         jnp.asarray(t["packed_idx"]),
         jnp.asarray(t["super_idx"]),
+        jnp.asarray(t["l3_idx"]),
         jnp.asarray(t["palette"]),
         jnp.asarray(pvec),
         jnp.asarray(planes),
@@ -50,6 +51,9 @@ def _compare(scene, cam, w=128, h=64, seed=7):
         super_dims=t["super_dims"],
         super_zw=t["super_zw"],
         sn_rows=t["super_idx"].shape[0],
+        l3_dims=t["l3_dims"],
+        l3_zw=t["l3_zw"],
+        l3_rows=t["l3_idx"].shape[0],
         height=h,
         width=w,
         interpret=True,

@@ -83,3 +83,46 @@ def test_sharded_matches_single_device(radius):
             atol=1e-6,
             err_msg=f"state[{key}] differs across sharding",
         )
+
+
+def test_sharded_pallas_matches_single_device():
+    """The flagship Pallas kernel family composes with the mesh: the
+    trace stage runs under shard_map (one row slab per device, params
+    slot 30 carrying the slab's global row) and must reproduce the
+    single-device Pallas render bit-for-bit.  Runs the kernel through
+    the Pallas interpreter (trace_impl="pallas_interpret") since the
+    suite executes on virtual CPU devices."""
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
+    height, width = 16, 16
+    scene, meta, args = _setup(height, width)
+
+    single = pipeline.render_frame(
+        pipeline.init_state(height, width),
+        *args,
+        scene_meta=meta,
+        height=height,
+        width=width,
+        radius=0,
+        reproject=True,
+        trace_impl="pallas_interpret",
+    )
+
+    mesh = make_mesh()
+    fn, shard_state = sharded_render_frame(
+        mesh,
+        scene_meta=meta,
+        height=height,
+        width=width,
+        radius=0,
+        reproject=True,
+        trace_impl="pallas_interpret",
+    )
+    sharded = fn(shard_state(pipeline.init_state(height, width)), *args)
+
+    for key in ("image", "depth", "node"):
+        np.testing.assert_array_equal(
+            np.asarray(single[1][key]),
+            np.asarray(sharded[1][key]),
+            err_msg=f"outputs[{key}] differs across pallas sharding",
+        )

@@ -88,6 +88,7 @@ def config1_oracle_match(quick=False):
     x = trace_pallas.render_sample(
         jnp.asarray(t["packed_idx"]),
         jnp.asarray(t["super_idx"]),
+        jnp.asarray(t["l3_idx"]),
         jnp.asarray(t["palette"]),
         jnp.asarray(trace_pallas.pack_params(cam_arr, params)),
         jnp.asarray(planes),
@@ -98,6 +99,9 @@ def config1_oracle_match(quick=False):
         super_dims=t["super_dims"],
         super_zw=t["super_zw"],
         sn_rows=t["super_idx"].shape[0],
+        l3_dims=t["l3_dims"],
+        l3_zw=t["l3_zw"],
+        l3_rows=t["l3_idx"].shape[0],
         height=size,
         width=size,
     )

@@ -74,20 +74,23 @@ def render_frame_impl(
     radius: int,
     reproject: bool,
     trace_impl: str = "xla",
+    shard_mesh=None,  # jax.sharding.Mesh: shard the Pallas trace stage
+    shard_axis: str = "rows",
 ):
-    dims, origin, zw, n_rows, super_dims, super_zw, sn_rows = scene_meta
+    (
+        dims, origin, zw, n_rows, super_dims, super_zw, sn_rows,
+        l3_dims, l3_zw, l3_rows,
+    ) = scene_meta
     planes = noise_op.noise_planes(
         noise_buffer, frame_number, height, width, xp=jnp
     )
 
-    if trace_impl == "pallas":
+    if trace_impl.startswith("pallas"):
+        # "pallas_interpret" runs the same kernel through the Pallas
+        # interpreter — how CPU tests exercise the TPU kernel family.
+        interpret = trace_impl == "pallas_interpret"
         params_vec = trace_pallas.pack_params_traced(cam, render_params)
-        gbuf = trace_pallas.render_sample(
-            scene_arrays["packed_idx"],
-            scene_arrays["super_idx"],
-            scene_arrays["palette"],
-            params_vec,
-            planes,
+        trace_kw = dict(
             dims=dims,
             zw=zw,
             origin=origin,
@@ -95,9 +98,67 @@ def render_frame_impl(
             super_dims=super_dims,
             super_zw=super_zw,
             sn_rows=sn_rows,
-            height=height,
+            l3_dims=l3_dims,
+            l3_zw=l3_zw,
+            l3_rows=l3_rows,
             width=width,
+            interpret=interpret,
         )
+        if shard_mesh is None:
+            gbuf = trace_pallas.render_sample(
+                scene_arrays["packed_idx"],
+                scene_arrays["super_idx"],
+                scene_arrays["l3_idx"],
+                scene_arrays["palette"],
+                params_vec,
+                planes,
+                height=height,
+                **trace_kw,
+            )
+        else:
+            # Pallas under SPMD: XLA cannot partition a custom call, so
+            # the trace stage runs under shard_map — each chip traces
+            # its own row slab against the replicated scene (zero
+            # collectives; params slot 30 carries the slab's global
+            # row so ray-gen stays image-global).
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            n_dev = shard_mesh.devices.size
+            slab = height // n_dev
+
+            def _trace(packed, sup, l3, pal, pv, planes_slab):
+                row0 = (
+                    jax.lax.axis_index(shard_axis) * slab
+                ).astype(jnp.float32)
+                pv = pv.at[0, 30].set(row0)
+                return trace_pallas.render_sample(
+                    packed, sup, l3, pal, pv, planes_slab,
+                    height=slab, **trace_kw,
+                )
+
+            out_specs = {
+                "color": P(shard_axis),
+                "normal": P(shard_axis),
+                "depth": P(shard_axis),
+                "albedo": P(shard_axis),
+                "node": P(shard_axis),
+                "debug_iters": P(shard_axis),
+            }
+            gbuf = shard_map(
+                _trace,
+                mesh=shard_mesh,
+                in_specs=(P(), P(), P(), P(), P(), P(None, shard_axis, None)),
+                out_specs=out_specs,
+                check_rep=False,
+            )(
+                scene_arrays["packed_idx"],
+                scene_arrays["super_idx"],
+                scene_arrays["l3_idx"],
+                scene_arrays["palette"],
+                params_vec,
+                planes,
+            )
     else:
         gbuf = trace_xla.render_sample(
             scene_arrays["flat_grid"],
@@ -128,14 +189,22 @@ def render_frame_impl(
         temporal_params,
         state["history_valid"],
         reproject=reproject,
-        resample_impl=trace_impl,  # pallas resampler rides the TPU path
+        # The pallas resampler rides the single-chip TPU path; under a
+        # mesh the XLA gather path lets the SPMD partitioner insert the
+        # cross-slab halo exchanges.
+        resample_impl=(
+            "pallas" if trace_impl == "pallas" and shard_mesh is None
+            else "xla"
+        ),
     )
 
     # The VMEM-windowed Pallas stencil reads each pixel once; the XLA
     # stencil streams ~(2r+1)^2 full-image slices through HBM.  Pair it
-    # with the Pallas trace path (TPU); keep XLA as the portable path.
+    # with the Pallas trace path (single-chip TPU); under a mesh the
+    # XLA stencil shards through annotations (partitioned halos).
     denoise_fn = (
-        denoise_pallas_op.denoise if trace_impl == "pallas"
+        denoise_pallas_op.denoise
+        if trace_impl == "pallas" and shard_mesh is None
         else denoise_op.denoise
     )
     out = denoise_fn(
@@ -173,7 +242,8 @@ def render_frame_impl(
 render_frame = partial(
     jax.jit,
     static_argnames=(
-        "scene_meta", "height", "width", "radius", "reproject", "trace_impl"
+        "scene_meta", "height", "width", "radius", "reproject",
+        "trace_impl", "shard_mesh", "shard_axis",
     ),
     donate_argnames=("state",),
 )(render_frame_impl)

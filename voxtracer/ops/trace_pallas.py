@@ -56,6 +56,14 @@ MISS_NODE = np.int32(0xFFFFFF)
 RAY_EPS = 1e-5
 BIG_I32 = np.int32(1 << 30)
 WIN_ROWS = 16  # rows per serve window (8 and 32 measured slower)
+# Per-table serve window sizes (sweepable via env for perf probes):
+# pending rows are dense on the fine table but sparse on the small
+# L3/supercell tables, where narrow windows waste fewer gathers.
+import os as _os
+
+L3_WIN = int(_os.environ.get("VOX_L3_WIN", WIN_ROWS))
+SUP_WIN = int(_os.environ.get("VOX_SUP_WIN", WIN_ROWS))
+FINE_WIN = int(_os.environ.get("VOX_FINE_WIN", WIN_ROWS))
 UNROLL = 1  # DDA steps per outer while round (2 measured no better)
 # Lanes cover a square BLOCK x BLOCK pixel region per program (better
 # 3-D locality for the serve loop than a raw TILE_H x TILE_W image
@@ -69,6 +77,8 @@ BLOCK = 64
 #   12 sun_yaw | 13 sun_pitch | 14 sun_size | 15 sun_strength
 #   16 emit_strength | 17 specularity | 18-20 sun_color | 21-23 sky_color
 #   24-26 sun direction (raw) | 27-29 sun direction (normalized)
+#   30 row0 — global pixel row of this image slab (0 single-chip; the
+#      shard_map wrapper sets it so each chip ray-gens its own rows)
 # (sun trig is precomputed host/XLA-side: Mosaic has no scalar trig)
 PARAMS_LEN = 32
 
@@ -162,10 +172,10 @@ def _norm_div3(x, y, z):
     return x / n, y / n, z / n
 
 
-def _serve_loop(ref, n_rows_, waddr, need0, word, cached):
+def _serve_loop(ref, n_rows_, waddr, need0, word, cached, win=WIN_ROWS):
     """Window-serve per-lane word fetches from ``ref``: each round
-    min-reduces the pending row indices, slices a WIN_ROWS window and
-    broadcast+gathers each row; lanes outside the window retry next
+    min-reduces the pending row indices, slices a ``win``-row window
+    and broadcast+gathers each row; lanes outside the window retry next
     round.  Returns (word, cached, rounds)."""
     rows = waddr >> 7
     need_i = need0.astype(jnp.int32)
@@ -173,11 +183,11 @@ def _serve_loop(ref, n_rows_, waddr, need0, word, cached):
     def serve_round(word_, cached_):
         needf = (need_i == 1) & (waddr != cached_)
         r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
-        r_base = jnp.clip(r_min, 0, n_rows_ - WIN_ROWS)
-        window = ref[pl.ds(r_base, WIN_ROWS), :]
+        r_base = jnp.clip(r_min, 0, n_rows_ - win)
+        window = ref[pl.ds(r_base, win), :]
         off = rows - r_base
-        in_win = needf & (off >= 0) & (off < WIN_ROWS)
-        for s8 in range(WIN_ROWS):
+        in_win = needf & (off >= 0) & (off < win)
+        for s8 in range(win):
             row_b = jnp.broadcast_to(window[s8 : s8 + 1, :], waddr.shape)
             g = jnp.take_along_axis(row_b, waddr & 127, axis=1)
             serve = in_win & (off == s8)
@@ -201,26 +211,33 @@ def _serve_loop(ref, n_rows_, waddr, need0, word, cached):
     return word, cached, kf
 
 
-def _make_traverse(dims, zw, origin, n_rows, super_dims, super_zw, sn_rows):
-    """Build the in-kernel supercell DDA traversal closure.
+def _make_traverse(
+    dims, zw, origin, n_rows, super_dims, super_zw, sn_rows,
+    l3_dims, l3_zw, l3_rows,
+):
+    """Build the in-kernel three-level DDA traversal closure.
 
-    The march runs on the SUPERCELL table (2x2x2 fine cells per 10-bit
-    value, ``GridScene.device_tables``): an occupied supercell (bit 9)
-    carries its 8-bit child mask, so fine-cell hits resolve with pure
-    arithmetic and zero further fetches; an empty supercell carries a
-    9-bit chebyshev distance d certifying every supercell within
-    radius d-1 empty, so the ray jumps to the exit of that box (the
-    TPU equivalent of the octree popping levels at once,
-    voxels.comp:191-221).  The fine palette table is consulted exactly
-    once per traversal — to resolve the slot at the recorded hit cell
-    — instead of at every step, cutting the scatter-limited serve
-    traffic by the supercell factor.
+    The march runs on the L3 table (4x4x4 fine cells per 10-bit value,
+    ``GridScene.device_tables``), whose ~30 rows make every window
+    serve 1-2 rounds.  An empty L3 cell carries a chebyshev distance d
+    certifying every L3 cell within radius d-1 empty, so the ray jumps
+    to the exit of that box (the TPU equivalent of the octree popping
+    levels at once, voxels.comp:191-221).  An occupied L3 cell carries
+    its 8-bit SUPERCELL mask: stepping across its empty supercells is
+    pure arithmetic, and only on entering an occupied supercell does
+    the kernel fetch that supercell's word (8-bit fine mask) from the
+    8x-larger supercell table — the scatter-heavy table is consulted
+    only next to geometry, where the fetched word then answers all 8
+    fine cells.  The fine palette table is consulted exactly once per
+    traversal, to resolve the slot at the recorded hit cell.
     """
     X, Y, Z = (int(d) for d in dims)
     HX, HY, HZ = (int(d) for d in super_dims)
+    QX, QY, QZ = (int(d) for d in l3_dims)
     assert Z < 32768, f"z extent {Z} exceeds the _div3 exact range"
     PY4 = -(-Y // 4)
     HY4 = -(-HY // 4)
+    QY4 = -(-QY // 4)
     oxi, oyi, ozi = (int(o) for o in origin)
     wlo = (oxi * CELL_SIZE, oyi * CELL_SIZE, ozi * CELL_SIZE)
     whi = (
@@ -229,7 +246,7 @@ def _make_traverse(dims, zw, origin, n_rows, super_dims, super_zw, sn_rows):
         (ozi + Z) * CELL_SIZE,
     )
 
-    def traverse(table_ref, super_ref, o3, d3, mask=None):
+    def traverse(table_ref, super_ref, l3_ref, o3, d3, mask=None):
         """Returns (hit i32, t, slot i32, fused, normal tuple, counters).
 
         ``mask`` (bool) gates which lanes traverse at all — dead paths
@@ -283,8 +300,8 @@ def _make_traverse(dims, zw, origin, n_rows, super_dims, super_zw, sn_rows):
             return jnp.logical_and(it < MAX_OUTER_ITERS, jnp.max(active) > 0)
 
         def one_step(
-            nserv, nact, active, cx, cy, cz, t, cached, word,
-            hit, hit_t, hcx, hcy, hcz,
+            nserv, nact, active, cx, cy, cz, t, l3_cached, l3_word,
+            sup_cached, sup_word, hit, hit_t, hcx, hcy, hcz,
         ):
             # 1. bounds check (oracle order: before the value test)
             inb = (
@@ -298,28 +315,48 @@ def _make_traverse(dims, zw, origin, n_rows, super_dims, super_zw, sn_rows):
             active = active * inb
             act = active == 1
 
-            # 2. fetch the supercell word
+            # 2. fetch the L3 word (tiny table: 1-2 serve rounds)
+            qx = cx >> 2
+            qy = cy >> 2
+            qz = cz >> 2
+            qzw3 = _div3(qz)
+            l3_col = ((qx >> 2) * QY4 + (qy >> 2)) * 16 + (
+                (qx & 3) << 2
+            ) + (qy & 3)
+            l3_addr = jnp.where(act, l3_col * l3_zw + qzw3, 0)
+            l3_word, l3_cached, kf = _serve_loop(
+                l3_ref, l3_rows, l3_addr, act, l3_word, l3_cached,
+                win=L3_WIN,
+            )
+            nserv = nserv + kf
+
+            val3 = (l3_word >> ((qz - qzw3 * 3) * 10)) & 1023
+            occ3 = (val3 & 0x200) != 0
+
+            # 3. occupied L3: its supercell mask says whether the
+            # current supercell holds geometry (no fetch)
             hx = cx >> 1
             hy = cy >> 1
             hz = cz >> 1
+            sbit = ((hx & 1) << 2) | ((hy & 1) << 1) | (hz & 1)
+            in_sup = act & occ3 & (((val3 >> sbit) & 1) == 1)
+
+            # 4. only lanes inside an occupied supercell consult the
+            # supercell table; the word then answers all 8 fine cells
             hzw3 = _div3(hz)
-            col = ((hx >> 2) * HY4 + (hy >> 2)) * 16 + ((hx & 3) << 2) + (
-                hy & 3
+            s_col = ((hx >> 2) * HY4 + (hy >> 2)) * 16 + (
+                (hx & 3) << 2
+            ) + (hy & 3)
+            s_addr = jnp.where(in_sup, s_col * super_zw + hzw3, 0)
+            sup_word, sup_cached, kf2 = _serve_loop(
+                super_ref, sn_rows, s_addr, in_sup, sup_word, sup_cached,
+                win=SUP_WIN,
             )
-            waddr = jnp.where(act, col * super_zw + hzw3, 0)
-            word, cached, kf = _serve_loop(
-                super_ref, sn_rows, waddr, act, word, cached
-            )
-            nserv = nserv + 1 + kf
-            nact = nact + jnp.sum(active)
+            nact = nact + kf2
 
-            val = (word >> ((hz - hzw3 * 3) * 10)) & 1023
-            occ_super = (val & 0x200) != 0
-
-            # 3. occupied supercell: child mask answers the fine cell
-            # with no further fetch
-            childbit = ((cx & 1) << 2) | ((cy & 1) << 1) | (cz & 1)
-            found = act & occ_super & (((val >> childbit) & 1) == 1)
+            vals = (sup_word >> ((hz - hzw3 * 3) * 10)) & 1023
+            fbit = ((cx & 1) << 2) | ((cy & 1) << 1) | (cz & 1)
+            found = in_sup & (((vals >> fbit) & 1) == 1)
             hit = jnp.where(found, 1, hit)
             hit_t = jnp.where(found, t, hit_t)
             hcx = jnp.where(found, cx, hcx)
@@ -327,18 +364,30 @@ def _make_traverse(dims, zw, origin, n_rows, super_dims, super_zw, sn_rows):
             hcz = jnp.where(found, cz, hcz)
             active = active * (1 - found.astype(jnp.int32))
 
-            # 4. advance.  Occupied supercell, empty child: exact
-            # single-fine-cell DDA step (box = the cell itself).  Empty
-            # supercell with distance d: jump to the exit of the
-            # certified-empty fine-cell box [ (h-d+1)*2, (h+d)*2 ).
+            # 5. advance.  Box to exit:
+            #   in an occupied supercell, empty fine cell: the fine
+            #     cell itself (exact single-cell DDA step);
+            #   occupied L3, empty supercell: that supercell;
+            #   empty L3 with distance d: the certified-empty L3 box
+            #     [ (q-d+1)*4, (q+d)*4 ) in fine cells.
             step = act & (~found)
-            d = jnp.maximum(val & 0x1FF, 1)
-            lox = jnp.where(occ_super, cx, (hx - d + 1) << 1)
-            hix = jnp.where(occ_super, cx + 1, (hx + d) << 1)
-            loy = jnp.where(occ_super, cy, (hy - d + 1) << 1)
-            hiy = jnp.where(occ_super, cy + 1, (hy + d) << 1)
-            loz = jnp.where(occ_super, cz, (hz - d + 1) << 1)
-            hiz = jnp.where(occ_super, cz + 1, (hz + d) << 1)
+            single = in_sup  # single-fine-cell box
+            d = jnp.maximum(val3 & 0x1FF, 1)
+
+            def box_axis(c, h, q, dd):
+                lo = jnp.where(
+                    single, c, jnp.where(occ3, h << 1, (q - dd + 1) << 2)
+                )
+                hi = jnp.where(
+                    single,
+                    c + 1,
+                    jnp.where(occ3, (h + 1) << 1, (q + dd) << 2),
+                )
+                return lo, hi
+
+            lox, hix = box_axis(cx, hx, qx, d)
+            loy, hiy = box_axis(cy, hy, qy, d)
+            loz, hiz = box_axis(cz, hz, qz, d)
 
             def bt_axis(lo, hi, og, sgn, o, inv):
                 bnd = jnp.where(sgn > 0, hi, lo)
@@ -361,9 +410,9 @@ def _make_traverse(dims, zw, origin, n_rows, super_dims, super_zw, sn_rows):
             fxc = cell_from_float(ox_, dx, bt, float(oxi))
             fyc = cell_from_float(oy_, dy, bt, float(oyi))
             fzc = cell_from_float(oz_, dz, bt, float(ozi))
-            ncx = jnp.where(bsx, jx, jnp.where(occ_super, cx, fxc))
-            ncy = jnp.where(bsy, jy, jnp.where(occ_super, cy, fyc))
-            ncz = jnp.where(bsz, jz, jnp.where(occ_super, cz, fzc))
+            ncx = jnp.where(bsx, jx, jnp.where(single, cx, fxc))
+            ncy = jnp.where(bsy, jy, jnp.where(single, cy, fyc))
+            ncz = jnp.where(bsz, jz, jnp.where(single, cz, fzc))
 
             cx = jnp.where(step, ncx, cx)
             cy = jnp.where(step, ncy, cy)
@@ -380,8 +429,10 @@ def _make_traverse(dims, zw, origin, n_rows, super_dims, super_zw, sn_rows):
                 cy,
                 cz,
                 t,
-                cached,
-                word,
+                l3_cached,
+                l3_word,
+                sup_cached,
+                sup_word,
                 hit,
                 hit_t,
                 hcx,
@@ -397,14 +448,16 @@ def _make_traverse(dims, zw, origin, n_rows, super_dims, super_zw, sn_rows):
 
         state = (
             np.int32(0),
-            np.int32(0),  # serve-round counter (perf instrumentation)
-            np.int32(0),  # total active-lane-iterations (instrumentation)
+            np.int32(0),  # L3 serve-round counter (instrumentation)
+            np.int32(0),  # supercell serve-round counter (instrumentation)
             active0,
             cx,
             cy,
             cz,
             t0,
-            zero_i - 1,  # cached word address
+            zero_i - 1,  # cached L3 word address
+            zero_i,
+            zero_i - 1,  # cached supercell word address
             zero_i,
             zero_i,  # hit mask
             zero_f,
@@ -422,6 +475,8 @@ def _make_traverse(dims, zw, origin, n_rows, super_dims, super_zw, sn_rows):
             cy,
             cz,
             t,
+            _,
+            _,
             _,
             _,
             hit,
@@ -450,12 +505,13 @@ def _make_traverse(dims, zw, origin, n_rows, super_dims, super_zw, sn_rows):
         )
         fwaddr = jnp.where(need_slot, fcol * zw + fzw, 0)
         fword, _, kf2 = _serve_loop(
-            table_ref, n_rows, fwaddr, need_slot, zero_i, zero_i - 1
+            table_ref, n_rows, fwaddr, need_slot, zero_i, zero_i - 1,
+            win=FINE_WIN,
         )
         hslot = jnp.where(
             need_slot, (fword >> ((hcz - fzw * 3) * 10)) & 1023, 0
         )
-        n_serves = n_serves + kf2
+        n_fine = kf2
 
         # normal: dominant axis of (hit point - cell center), sign
         # opposing the ray; exact ties set several components
@@ -474,23 +530,29 @@ def _make_traverse(dims, zw, origin, n_rows, super_dims, super_zw, sn_rows):
         ny = jnp.where((ay == m) & hitb, -jnp.sign(dy), 0.0)
         nz = jnp.where((az == m) & hitb, -jnp.sign(dz), 0.0)
 
-        return hit, hit_t, hslot, fused, (nx, ny, nz), (n_iters, n_serves, n_act)
+        return (
+            hit, hit_t, hslot, fused, (nx, ny, nz),
+            (n_iters, n_serves, n_act, n_fine),
+        )
 
     return traverse
 
 
 def _make_kernel(
     dims, zw, origin, n_rows, super_dims, super_zw, sn_rows,
+    l3_dims, l3_zw, l3_rows,
     max_bounces=MAX_BOUNCES,
 ):
     traverse = _make_traverse(
-        dims, zw, origin, n_rows, super_dims, super_zw, sn_rows
+        dims, zw, origin, n_rows, super_dims, super_zw, sn_rows,
+        l3_dims, l3_zw, l3_rows,
     )
 
     def kernel(
         params_ref,  # (1, PARAMS_LEN) f32 SMEM
         table_ref,  # (n_rows, 128) int32 VMEM
         super_ref,  # (sn_rows, 128) int32 VMEM
+        l3_ref,  # (l3_rows, 128) int32 VMEM
         palette_ref,  # (8, 128) int32 VMEM
         noise_ref,  # (24, TILE_H, TILE_W) f32 VMEM
         color_r_ref,
@@ -525,7 +587,7 @@ def _make_kernel(
         # lanes cover a square BLOCK x BLOCK pixel region (see BLOCK)
         lane = iy * TILE_W + ix
         px = (tj * BLOCK + (lane % BLOCK)).astype(jnp.float32)
-        py = (ti * BLOCK + (lane // BLOCK)).astype(jnp.float32)
+        py = (ti * BLOCK + (lane // BLOCK)).astype(jnp.float32) + P(30)
 
         cam_o = (P(0), P(1), P(2))
         right = (P(3), P(4), P(5))
@@ -578,7 +640,8 @@ def _make_kernel(
         for bounce in range(max_bounces):
             k0 = RANDS_PER_BOUNCE * bounce
             hit_i, t, slot, fused, (nx, ny, nz), t_iters = traverse(
-                table_ref, super_ref, (rox, roy, roz), (rdx, rdy, rdz),
+                table_ref, super_ref, l3_ref,
+                (rox, roy, roz), (rdx, rdy, rdz),
                 mask=(alive == 1),
             )
             iter_counts.append(t_iters)  # (n_iters, n_serves)
@@ -643,7 +706,8 @@ def _make_kernel(
             # (voxels.comp:339-361 pays it unconditionally).
             cos_term = jnp.maximum(0.0, _dot3(nx, ny, nz, shx, shy, shz))
             obst_i, _, _, _, _, s_iters = traverse(
-                table_ref, super_ref, (sox, soy, soz), (shx, shy, shz),
+                table_ref, super_ref, l3_ref,
+                (sox, soy, soz), (shx, shy, shz),
                 mask=hit & (~specular) & (sun_strength > 0.0)
                 & (cos_term > 0.0),
             )
@@ -739,21 +803,16 @@ def _make_kernel(
         albedo_r_ref[:] = jnp.where(emiss_first, 1.0, fr)
         albedo_g_ref[:] = jnp.where(emiss_first, 1.0, fg)
         albedo_b_ref[:] = jnp.where(emiss_first, 1.0, fb)
+        # per-phase counters at lane (0, j): iters, L3 serve rounds,
+        # supercell serve rounds, fine-resolve serve rounds
         dbg = zf
-        for k, (itc, srv, nac) in enumerate(iter_counts):
-            dbg = jnp.where(
-                (fy == 0.0) & (fx == float(k)), itc.astype(jnp.float32), dbg
-            )
-            dbg = jnp.where(
-                (fy == 0.0) & (fx == float(8 + k)),
-                srv.astype(jnp.float32),
-                dbg,
-            )
-            dbg = jnp.where(
-                (fy == 0.0) & (fx == float(16 + k)),
-                nac.astype(jnp.float32),
-                dbg,
-            )
+        for k, counters in enumerate(iter_counts):
+            for c, ctr in enumerate(counters):
+                dbg = jnp.where(
+                    (fy == 0.0) & (fx == float(6 * c + k)),
+                    ctr.astype(jnp.float32),
+                    dbg,
+                )
         debug_ref[:] = dbg
 
     return kernel
@@ -767,12 +826,14 @@ def _pad_to(x, m):
     jax.jit,
     static_argnames=(
         "dims", "zw", "origin", "n_rows", "super_dims", "super_zw",
-        "sn_rows", "height", "width", "interpret", "max_bounces",
+        "sn_rows", "l3_dims", "l3_zw", "l3_rows", "height", "width",
+        "interpret", "max_bounces",
     ),
 )
 def render_sample(
     packed_idx: jnp.ndarray,  # (n_rows, 128) int32
     super_idx: jnp.ndarray,  # (sn_rows, 128) int32
+    l3_idx: jnp.ndarray,  # (l3_rows, 128) int32
     palette: jnp.ndarray,  # (8, 128) int32
     params_vec: jnp.ndarray,  # (1, PARAMS_LEN) f32
     noise_planes: jnp.ndarray,  # (24, H, W) f32
@@ -784,6 +845,9 @@ def render_sample(
     super_dims: Tuple[int, int, int],
     super_zw: int,
     sn_rows: int,
+    l3_dims: Tuple[int, int, int],
+    l3_zw: int,
+    l3_rows: int,
     height: int,
     width: int,
     interpret: bool = False,
@@ -813,6 +877,7 @@ def render_sample(
     grid = (nby, nbx)
     kernel = _make_kernel(
         dims, zw, origin, n_rows, super_dims, super_zw, sn_rows,
+        l3_dims, l3_zw, l3_rows,
         max_bounces=max_bounces,
     )
 
@@ -844,6 +909,7 @@ def render_sample(
             ),
             full((n_rows, 128)),
             full((sn_rows, 128)),
+            full((l3_rows, 128)),
             full((8, 128)),
             pl.BlockSpec(
                 (24, TILE_H, TILE_W),
@@ -856,7 +922,7 @@ def render_sample(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(params_vec, packed_idx, super_idx, palette, noise_planes)
+    )(params_vec, packed_idx, super_idx, l3_idx, palette, noise_planes)
 
     (cr, cg, cb, nx, ny, nz, depth, node, ar, ag, ab, dbg) = outs
 
@@ -877,8 +943,9 @@ def render_sample(
         "depth": crop(depth),
         "albedo": jnp.stack([crop(ar), crop(ag), crop(ab)], axis=-1),
         "node": crop(node),
-        # per-tile counters at lane (0, k): k<6 outer iterations,
-        # k in 8..13 serve rounds, per traversal phase
+        # per-tile counters at lane (0, 6*c + k), phase k in 0..5,
+        # counter c: 0 outer iters, 1 L3 serve rounds, 2 supercell
+        # serve rounds, 3 fine-resolve serve rounds
         "debug_iters": dbg[::TILE_H, :].reshape(nby, nbx, TILE_W)[
             ..., :24
         ].reshape(nby * nbx, 24),

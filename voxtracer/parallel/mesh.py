@@ -100,6 +100,11 @@ def sharded_render_frame(
             radius=radius,
             reproject=reproject,
             trace_impl=trace_impl,
+            # XLA's partitioner cannot split a Pallas custom call, so
+            # the pallas trace stage runs under shard_map on this mesh
+            # (the xla path shards transparently through annotations).
+            shard_mesh=mesh if trace_impl.startswith("pallas") else None,
+            shard_axis=axis,
         ),
         in_shardings=(
             state_shardings,  # state
@@ -142,10 +147,14 @@ def scene_device_args(scene, trace_impl: str = "all"):
         tuple(int(d) for d in tables["super_dims"]),
         int(tables["super_zw"]),
         int(tables["super_idx"].shape[0]),
+        tuple(int(d) for d in tables["l3_dims"]),
+        int(tables["l3_zw"]),
+        int(tables["l3_idx"].shape[0]),
     )
     arrays = {
         "packed_idx": jnp.asarray(tables["packed_idx"]),
         "super_idx": jnp.asarray(tables["super_idx"]),
+        "l3_idx": jnp.asarray(tables["l3_idx"]),
         "palette": jnp.asarray(tables["palette"]),
     }
     if trace_impl != "pallas":

@@ -52,7 +52,14 @@ DIST_CAP = RESERVED_SLOTS - 1
 
 # Supercell (2x2x2) table: empty supercells carry a 9-bit capped
 # chebyshev distance in supercell units (bit 9 = occupied flag).
+# Stored through a uint8 field: distances wrap mod 256 above 255,
+# which is always a SHORTER (safe) jump; the cap mainly documents the
+# 9-bit encoding headroom.
 SUPER_DIST_CAP = 511
+
+# L3 (2x2x2 supercells = 4x4x4 fine cells) table distance cap; kept
+# within uint8 so the native distance field stores it exactly.
+L3_DIST_CAP = 255
 
 
 def _ceil_multiple(x: int, m: int) -> int:
@@ -194,68 +201,113 @@ class GridScene:
         # half resolution.  Bit 9 set: occupied, bits 0-7 = child
         # occupancy mask (bit = (x&1)<<2 | (y&1)<<1 | (z&1)).  Bit 9
         # clear: 9-bit capped chebyshev distance (in supercells) to the
-        # nearest occupied supercell.  The trace kernel marches this
-        # table — ~8x smaller than the fine one, and a whole occupied
-        # supercell traverses mask-arithmetically with no further
-        # fetches — and touches the fine table only to resolve the
-        # palette slot at actual hits.
+        # nearest occupied supercell.
         occ = self.values != 0
-        hx, hy, hz = x_dim // 2, y_dim // 2, -(-z_dim // 2)
-        occ_p = occ
-        if hz * 2 != z_dim:
-            occ_p = np.concatenate(
-                [occ, np.zeros((x_dim, y_dim, 1), bool)], axis=2
-            )
-        kids = occ_p.reshape(hx, 2, hy, 2, hz, 2)
-        mask = np.zeros((hx, hy, hz), np.uint16)
-        for bx in range(2):
-            for by in range(2):
-                for bz in range(2):
-                    bit = (bx << 2) | (by << 1) | bz
-                    mask |= kids[:, bx, :, by, :, bz].astype(
-                        np.uint16
-                    ) << np.uint16(bit)
         sup_d = native.block_dist(self.values, 1, SUPER_DIST_CAP)
         if sup_d is None:
-            sup_d = _chebyshev_distance(mask > 0, cap=SUPER_DIST_CAP)
-        sup_val = np.where(
-            mask > 0, np.uint16(0x200) | mask, sup_d.astype(np.uint16)
-        ).astype(np.int64)
-
-        hzw = -(-hz // 3)
-        if hzw * 3 != hz:
-            sup_val = np.concatenate(
-                [
-                    sup_val,
-                    np.zeros((hx, hy, hzw * 3 - hz), np.int64),
-                ],
-                axis=2,
+            sup_d = _chebyshev_distance(
+                _block_occ(occ), cap=SUPER_DIST_CAP
             )
-        sup_words = (
-            (
-                sup_val.reshape(hx, hy, hzw, 3)
-                << np.array([0, 10, 20], np.int64)
-            ).sum(axis=3)
-        ).astype(np.uint32)
-        assert hx % 4 == 0 and hy % 4 == 0
-        sup_flat = (
-            sup_words.reshape(hx // 4, 4, hy // 4, 4, hzw)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(-1)
-            .view(np.int32)
-        )
-        sn_rows = max(16, _ceil_multiple(len(sup_flat), 128) // 128)
-        sup_padded = np.zeros(sn_rows * 128, np.int32)
-        sup_padded[: len(sup_flat)] = sup_flat
+        sup_idx, super_dims, hzw, sup_mask = _pack_level(occ, sup_d)
+
+        # L3 table: the same format one level up — one 10-bit value per
+        # 2x2x2-SUPERCELL block (4x4x4 fine cells): bit 9 + 8-bit
+        # supercell-occupancy mask, or a capped chebyshev distance in
+        # L3 units.  The trace kernel *marches* this ~8x-smaller table
+        # (cheap window serves), steps across empty supercells inside
+        # an occupied L3 cell with pure mask arithmetic, and fetches
+        # the supercell table only when actually entering an occupied
+        # supercell — the TPU equivalent of the octree descending one
+        # level only where geometry is (voxels.comp:175-221).
+        sup_occ = sup_mask > 0
+        hx, hy, hz = sup_occ.shape
+        px, py = _ceil_multiple(hx, 8), _ceil_multiple(hy, 8)
+        if (px, py) != (hx, hy):
+            grown = np.zeros((px, py, hz), bool)
+            grown[:hx, :hy, :] = sup_occ
+            sup_occ = grown
+        l3_d = native.block_dist(self.values, 2, L3_DIST_CAP)
+        if l3_d is None:
+            l3_d = _chebyshev_distance(_block_occ(sup_occ), cap=L3_DIST_CAP)
+        qd = _block_occ(sup_occ).shape
+        if l3_d.shape != qd:  # native dims follow the unpadded grid
+            grown = np.zeros(qd, l3_d.dtype)
+            grown[: l3_d.shape[0], : l3_d.shape[1], : l3_d.shape[2]] = l3_d
+            l3_d = grown
+        l3_idx, l3_dims, l3_zw, _ = _pack_level(sup_occ, l3_d)
 
         return {
             "packed_idx": padded.reshape(n_rows, 128),
             "palette": palette.reshape(8, 128),
             "zw": zw,
-            "super_idx": sup_padded.reshape(sn_rows, 128),
-            "super_dims": (hx, hy, hz),
+            "super_idx": sup_idx,
+            "super_dims": super_dims,
             "super_zw": hzw,
+            "l3_idx": l3_idx,
+            "l3_dims": l3_dims,
+            "l3_zw": l3_zw,
         }
+
+
+def _block_occ(occ: np.ndarray) -> np.ndarray:
+    """Child occupancy -> 2x-coarser block occupancy (z padded up)."""
+    cx, cy, cz = occ.shape
+    if cz % 2:
+        occ = np.concatenate([occ, np.zeros((cx, cy, 1), bool)], axis=2)
+    return occ.reshape(cx // 2, 2, cy // 2, 2, -1, 2).any(axis=(1, 3, 5))
+
+
+def _pack_level(occ: np.ndarray, dist: np.ndarray):
+    """Pack one pyramid level into the kernel's word table.
+
+    ``occ`` is child-level occupancy with x/y multiples of 8 (so the
+    block level divides the 4x4 pillar layout).  Each 10-bit value
+    covers a 2x2x2 child block: bit 9 set = occupied with bits 0-7 the
+    child mask (bit = (x&1)<<2 | (y&1)<<1 | (z&1)); bit 9 clear = the
+    capped chebyshev block distance from ``dist``.  3 consecutive-z
+    values pack per int32 word, words in 4x4 (x, y)-block pillar order.
+
+    Returns ``(table (rows, 128) int32, (bx, by, bz), bzw, mask)``.
+    """
+    cx, cy, cz = occ.shape
+    bx, by, bz = cx // 2, cy // 2, -(-cz // 2)
+    occ_p = occ
+    if bz * 2 != cz:
+        occ_p = np.concatenate(
+            [occ, np.zeros((cx, cy, 1), bool)], axis=2
+        )
+    kids = occ_p.reshape(bx, 2, by, 2, bz, 2)
+    mask = np.zeros((bx, by, bz), np.uint16)
+    for ix in range(2):
+        for iy in range(2):
+            for iz in range(2):
+                bit = (ix << 2) | (iy << 1) | iz
+                mask |= kids[:, ix, :, iy, :, iz].astype(
+                    np.uint16
+                ) << np.uint16(bit)
+    val = np.where(
+        mask > 0, np.uint16(0x200) | mask, dist.astype(np.uint16)
+    ).astype(np.int64)
+    bzw = -(-bz // 3)
+    if bzw * 3 != bz:
+        val = np.concatenate(
+            [val, np.zeros((bx, by, bzw * 3 - bz), np.int64)], axis=2
+        )
+    words = (
+        (val.reshape(bx, by, bzw, 3) << np.array([0, 10, 20], np.int64))
+        .sum(axis=3)
+    ).astype(np.uint32)
+    assert bx % 4 == 0 and by % 4 == 0
+    flat = (
+        words.reshape(bx // 4, 4, by // 4, 4, bzw)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(-1)
+        .view(np.int32)
+    )
+    n_rows = max(16, _ceil_multiple(len(flat), 128) // 128)
+    padded = np.zeros(n_rows * 128, np.int32)
+    padded[: len(flat)] = flat
+    return padded.reshape(n_rows, 128), (bx, by, bz), bzw, mask
 
 
 def _quantize_leaves(leaves: np.ndarray) -> np.ndarray:
