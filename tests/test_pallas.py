@@ -39,7 +39,7 @@ def _compare(scene, cam, w=128, h=64, seed=7):
     pvec = trace_pallas.pack_params(cam_arr, params)
     x = trace_pallas.render_sample(
         jnp.asarray(t["packed_idx"]),
-        jnp.asarray(t["super_idx"]),
+        jnp.asarray(t["brick_idx"]),
         jnp.asarray(t["l3_idx"]),
         jnp.asarray(t["palette"]),
         jnp.asarray(pvec),
@@ -48,12 +48,10 @@ def _compare(scene, cam, w=128, h=64, seed=7):
         zw=t["zw"],
         origin=tuple(int(v) for v in scene.origin),
         n_rows=t["packed_idx"].shape[0],
-        super_dims=t["super_dims"],
-        super_zw=t["super_zw"],
-        sn_rows=t["super_idx"].shape[0],
         l3_dims=t["l3_dims"],
         l3_zw=t["l3_zw"],
         l3_rows=t["l3_idx"].shape[0],
+        b_rows=t["brick_idx"].shape[0],
         height=h,
         width=w,
         interpret=True,

@@ -87,7 +87,7 @@ def config1_oracle_match(quick=False):
     cam_arr = np.stack([cam.position, right, up, forward]).astype(np.float32)
     x = trace_pallas.render_sample(
         jnp.asarray(t["packed_idx"]),
-        jnp.asarray(t["super_idx"]),
+        jnp.asarray(t["brick_idx"]),
         jnp.asarray(t["l3_idx"]),
         jnp.asarray(t["palette"]),
         jnp.asarray(trace_pallas.pack_params(cam_arr, params)),
@@ -96,12 +96,10 @@ def config1_oracle_match(quick=False):
         zw=t["zw"],
         origin=tuple(int(v) for v in scene.origin),
         n_rows=t["packed_idx"].shape[0],
-        super_dims=t["super_dims"],
-        super_zw=t["super_zw"],
-        sn_rows=t["super_idx"].shape[0],
         l3_dims=t["l3_dims"],
         l3_zw=t["l3_zw"],
         l3_rows=t["l3_idx"].shape[0],
+        b_rows=t["brick_idx"].shape[0],
         height=size,
         width=size,
     )

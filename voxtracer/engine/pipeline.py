@@ -78,8 +78,7 @@ def render_frame_impl(
     shard_axis: str = "rows",
 ):
     (
-        dims, origin, zw, n_rows, super_dims, super_zw, sn_rows,
-        l3_dims, l3_zw, l3_rows,
+        dims, origin, zw, n_rows, l3_dims, l3_zw, l3_rows, b_rows,
     ) = scene_meta
     planes = noise_op.noise_planes(
         noise_buffer, frame_number, height, width, xp=jnp
@@ -95,19 +94,17 @@ def render_frame_impl(
             zw=zw,
             origin=origin,
             n_rows=n_rows,
-            super_dims=super_dims,
-            super_zw=super_zw,
-            sn_rows=sn_rows,
             l3_dims=l3_dims,
             l3_zw=l3_zw,
             l3_rows=l3_rows,
+            b_rows=b_rows,
             width=width,
             interpret=interpret,
         )
         if shard_mesh is None:
             gbuf = trace_pallas.render_sample(
                 scene_arrays["packed_idx"],
-                scene_arrays["super_idx"],
+                scene_arrays["brick_idx"],
                 scene_arrays["l3_idx"],
                 scene_arrays["palette"],
                 params_vec,
@@ -127,13 +124,13 @@ def render_frame_impl(
             n_dev = shard_mesh.devices.size
             slab = height // n_dev
 
-            def _trace(packed, sup, l3, pal, pv, planes_slab):
+            def _trace(packed, brick, l3, pal, pv, planes_slab):
                 row0 = (
                     jax.lax.axis_index(shard_axis) * slab
                 ).astype(jnp.float32)
                 pv = pv.at[0, 30].set(row0)
                 return trace_pallas.render_sample(
-                    packed, sup, l3, pal, pv, planes_slab,
+                    packed, brick, l3, pal, pv, planes_slab,
                     height=slab, **trace_kw,
                 )
 
@@ -153,7 +150,7 @@ def render_frame_impl(
                 check_rep=False,
             )(
                 scene_arrays["packed_idx"],
-                scene_arrays["super_idx"],
+                scene_arrays["brick_idx"],
                 scene_arrays["l3_idx"],
                 scene_arrays["palette"],
                 params_vec,

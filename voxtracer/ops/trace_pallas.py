@@ -62,7 +62,12 @@ WIN_ROWS = 16  # rows per serve window (8 and 32 measured slower)
 import os as _os
 
 L3_WIN = int(_os.environ.get("VOX_L3_WIN", WIN_ROWS))
-SUP_WIN = int(_os.environ.get("VOX_SUP_WIN", WIN_ROWS))
+SUP_WIN = int(_os.environ.get("VOX_SUP_WIN", 32))  # 16/64 measured slower
+# Unrolled in-register fine-DDA steps per brick visit.  10 covers any
+# chord through a 4x4x4 brick (4+4+4-2); fewer steps are still correct
+# (the outer loop re-enters with the brick cached) but re-pay the
+# outer-iteration overhead.
+MICRO_STEPS = int(_os.environ.get("VOX_MICRO", 5))  # 3/10 measured slower
 FINE_WIN = int(_os.environ.get("VOX_FINE_WIN", WIN_ROWS))
 UNROLL = 1  # DDA steps per outer while round (2 measured no better)
 # Lanes cover a square BLOCK x BLOCK pixel region per program (better
@@ -177,6 +182,7 @@ def _serve_loop(ref, n_rows_, waddr, need0, word, cached, win=WIN_ROWS):
     min-reduces the pending row indices, slices a ``win``-row window
     and broadcast+gathers each row; lanes outside the window retry next
     round.  Returns (word, cached, rounds)."""
+    win = min(win, n_rows_)
     rows = waddr >> 7
     need_i = need0.astype(jnp.int32)
 
@@ -211,11 +217,52 @@ def _serve_loop(ref, n_rows_, waddr, need0, word, cached, win=WIN_ROWS):
     return word, cached, kf
 
 
+def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
+    """Window-serve per-lane word PAIRS (waddr even; waddr+1 shares the
+    128-word row by construction).  Returns (lo, hi, cached, rounds)."""
+    win = min(win, n_rows_)
+    rows = waddr >> 7
+    need_i = need0.astype(jnp.int32)
+
+    def serve_round(lo_, hi_, cached_):
+        needf = (need_i == 1) & (waddr != cached_)
+        r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
+        r_base = jnp.clip(r_min, 0, n_rows_ - win)
+        window = ref[pl.ds(r_base, win), :]
+        off = rows - r_base
+        in_win = needf & (off >= 0) & (off < win)
+        col = waddr & 127
+        for s8 in range(win):
+            row_b = jnp.broadcast_to(window[s8 : s8 + 1, :], waddr.shape)
+            g_lo = jnp.take_along_axis(row_b, col, axis=1)
+            g_hi = jnp.take_along_axis(row_b, col | 1, axis=1)
+            serve = in_win & (off == s8)
+            lo_ = jnp.where(serve, g_lo, lo_)
+            hi_ = jnp.where(serve, g_hi, hi_)
+            cached_ = jnp.where(serve, waddr, cached_)
+        return lo_, hi_, cached_
+
+    def serve_cond(ss):
+        k = ss[0]
+        cached_ = ss[3]
+        unserved = (need_i == 1) & (waddr != cached_)
+        return jnp.logical_and(k < 256, unserved.any())
+
+    def serve_body(ss):
+        k, lo_, hi_, cached_ = ss
+        lo_, hi_, cached_ = serve_round(lo_, hi_, cached_)
+        return k + 1, lo_, hi_, cached_
+
+    kf, lo, hi, cached = jax.lax.while_loop(
+        serve_cond, serve_body, (np.int32(0), lo, hi, cached)
+    )
+    return lo, hi, cached, kf
+
+
 def _make_traverse(
-    dims, zw, origin, n_rows, super_dims, super_zw, sn_rows,
-    l3_dims, l3_zw, l3_rows,
+    dims, zw, origin, n_rows, l3_dims, l3_zw, l3_rows, b_rows,
 ):
-    """Build the in-kernel three-level DDA traversal closure.
+    """Build the in-kernel brick-DDA traversal closure.
 
     The march runs on the L3 table (4x4x4 fine cells per 10-bit value,
     ``GridScene.device_tables``), whose ~30 rows make every window
@@ -225,18 +272,18 @@ def _make_traverse(
     levels at once, voxels.comp:191-221).  An occupied L3 cell carries
     its 8-bit SUPERCELL mask: stepping across its empty supercells is
     pure arithmetic, and only on entering an occupied supercell does
-    the kernel fetch that supercell's word (8-bit fine mask) from the
-    8x-larger supercell table — the scatter-heavy table is consulted
-    only next to geometry, where the fetched word then answers all 8
-    fine cells.  The fine palette table is consulted exactly once per
-    traversal, to resolve the slot at the recorded hit cell.
+    the kernel fetch that L3 cell's BRICK — the full 64-bit fine
+    occupancy as one adjacent word pair — after which an unrolled
+    micro-DDA tests and steps every fine cell of the region with
+    in-register bit tests, zero further fetches (the octree analog:
+    one node fetch answers all children, voxels.comp:175-189).  The
+    fine palette table is consulted exactly once per traversal, to
+    resolve the slot at the recorded hit cell.
     """
     X, Y, Z = (int(d) for d in dims)
-    HX, HY, HZ = (int(d) for d in super_dims)
     QX, QY, QZ = (int(d) for d in l3_dims)
     assert Z < 32768, f"z extent {Z} exceeds the _div3 exact range"
     PY4 = -(-Y // 4)
-    HY4 = -(-HY // 4)
     QY4 = -(-QY // 4)
     oxi, oyi, ozi = (int(o) for o in origin)
     wlo = (oxi * CELL_SIZE, oyi * CELL_SIZE, ozi * CELL_SIZE)
@@ -246,7 +293,7 @@ def _make_traverse(
         (ozi + Z) * CELL_SIZE,
     )
 
-    def traverse(table_ref, super_ref, l3_ref, o3, d3, mask=None):
+    def traverse(table_ref, brick_ref, l3_ref, o3, d3, mask=None):
         """Returns (hit i32, t, slot i32, fused, normal tuple, counters).
 
         ``mask`` (bool) gates which lanes traverse at all — dead paths
@@ -301,7 +348,7 @@ def _make_traverse(
 
         def one_step(
             nserv, nact, active, cx, cy, cz, t, l3_cached, l3_word,
-            sup_cached, sup_word, hit, hit_t, hcx, hcy, hcz,
+            b_cached, b_lo, b_hi, hit, hit_t, hcx, hcy, hcz,
         ):
             # 1. bounds check (oracle order: before the value test)
             inb = (
@@ -335,64 +382,91 @@ def _make_traverse(
 
             # 3. occupied L3: its supercell mask says whether the
             # current supercell holds geometry (no fetch)
-            hx = cx >> 1
-            hy = cy >> 1
-            hz = cz >> 1
-            sbit = ((hx & 1) << 2) | ((hy & 1) << 1) | (hz & 1)
+            sbit = (
+                ((cx >> 1 & 1) << 2) | ((cy >> 1 & 1) << 1) | (cz >> 1 & 1)
+            )
             in_sup = act & occ3 & (((val3 >> sbit) & 1) == 1)
 
-            # 4. only lanes inside an occupied supercell consult the
-            # supercell table; the word then answers all 8 fine cells
-            hzw3 = _div3(hz)
-            s_col = ((hx >> 2) * HY4 + (hy >> 2)) * 16 + (
-                (hx & 3) << 2
-            ) + (hy & 3)
-            s_addr = jnp.where(in_sup, s_col * super_zw + hzw3, 0)
-            sup_word, sup_cached, kf2 = _serve_loop(
-                super_ref, sn_rows, s_addr, in_sup, sup_word, sup_cached,
+            # 4. lanes inside an occupied supercell fetch the L3
+            # cell's BRICK (64-bit fine mask, adjacent word pair)
+            b_addr = jnp.where(in_sup, (l3_col * QZ + qz) * 2, 0)
+            b_lo, b_hi, b_cached, kf2 = _serve_loop_pair(
+                brick_ref, b_rows, b_addr, in_sup, b_lo, b_hi, b_cached,
                 win=SUP_WIN,
             )
             nact = nact + kf2
-
-            vals = (sup_word >> ((hz - hzw3 * 3) * 10)) & 1023
-            fbit = ((cx & 1) << 2) | ((cy & 1) << 1) | (cz & 1)
-            found = in_sup & (((vals >> fbit) & 1) == 1)
-            hit = jnp.where(found, 1, hit)
-            hit_t = jnp.where(found, t, hit_t)
-            hcx = jnp.where(found, cx, hcx)
-            hcy = jnp.where(found, cy, hcy)
-            hcz = jnp.where(found, cz, hcz)
-            active = active * (1 - found.astype(jnp.int32))
-
-            # 5. advance.  Box to exit:
-            #   in an occupied supercell, empty fine cell: the fine
-            #     cell itself (exact single-cell DDA step);
-            #   occupied L3, empty supercell: that supercell;
-            #   empty L3 with distance d: the certified-empty L3 box
-            #     [ (q-d+1)*4, (q+d)*4 ) in fine cells.
-            step = act & (~found)
-            single = in_sup  # single-fine-cell box
-            d = jnp.maximum(val3 & 0x1FF, 1)
-
-            def box_axis(c, h, q, dd):
-                lo = jnp.where(
-                    single, c, jnp.where(occ3, h << 1, (q - dd + 1) << 2)
-                )
-                hi = jnp.where(
-                    single,
-                    c + 1,
-                    jnp.where(occ3, (h + 1) << 1, (q + dd) << 2),
-                )
-                return lo, hi
-
-            lox, hix = box_axis(cx, hx, qx, d)
-            loy, hiy = box_axis(cy, hy, qy, d)
-            loz, hiz = box_axis(cz, hz, qz, d)
 
             def bt_axis(lo, hi, og, sgn, o, inv):
                 bnd = jnp.where(sgn > 0, hi, lo)
                 nb = (og + bnd.astype(jnp.float32)) * CELL_SIZE
                 return jnp.where(sgn != 0, (nb - o) * inv, inf)
+
+            # 5a. micro-DDA: lanes holding their brick march its fine
+            # cells with in-register bit tests — test the current
+            # cell, single-cell exact DDA advance, stop on hit or on
+            # leaving the brick.  All other lanes skip (masked).
+            qx0, qy0, qz0 = qx, qy, qz
+            run = in_sup
+
+            def brick_bit(cx_, cy_, cz_):
+                cxm = cx_ & 3
+                w = jnp.where(cxm < 2, b_lo, b_hi)
+                bitk = ((cxm & 1) << 4) | ((cy_ & 3) << 2) | (cz_ & 3)
+                return ((w >> bitk) & 1) == 1
+
+            for _ in range(MICRO_STEPS):
+                # lanes stop on a set bit, freezing (cell, t) AT the
+                # hit — recorded once after the unroll
+                run = run & (~brick_bit(cx, cy, cz))
+                # exact single-cell DDA advance (bit-identical to the
+                # box path's single-cell case)
+                btx = bt_axis(cx, cx + 1, float(oxi), sx, ox_, invx)
+                bty = bt_axis(cy, cy + 1, float(oyi), sy, oy_, invy)
+                btz = bt_axis(cz, cz + 1, float(ozi), sz, oz_, invz)
+                bt = jnp.minimum(jnp.minimum(btx, bty), btz)
+                bsx = (btx <= bty) & (btx <= btz)
+                bsy = (~bsx) & (bty <= btz)
+                bsz = (~bsx) & (~bsy)
+                cx = cx + jnp.where(run & bsx, sx, 0)
+                cy = cy + jnp.where(run & bsy, sy, 0)
+                cz = cz + jnp.where(run & bsz, sz, 0)
+                t = jnp.where(run, jnp.maximum(t, bt), t)
+                run = run & (
+                    ((cx >> 2) == qx0) & ((cy >> 2) == qy0)
+                    & ((cz >> 2) == qz0)
+                )
+            found_any = (
+                in_sup
+                & ((cx >> 2) == qx0) & ((cy >> 2) == qy0)
+                & ((cz >> 2) == qz0)
+                & brick_bit(cx, cy, cz)
+            )
+            hit = jnp.where(found_any, 1, hit)
+            hit_t = jnp.where(found_any, t, hit_t)
+            hcx = jnp.where(found_any, cx, hcx)
+            hcy = jnp.where(found_any, cy, hcy)
+            hcz = jnp.where(found_any, cz, hcz)
+            active = active * (1 - found_any.astype(jnp.int32))
+
+            # 5b. box advance for everyone else:
+            #   occupied L3, empty supercell (brick not cached): that
+            #     supercell's box;
+            #   empty L3 with distance d: the certified-empty L3 box
+            #     [ (q-d+1)*4, (q+d)*4 ) in fine cells.
+            step = act & (~in_sup)
+            d = jnp.maximum(val3 & 0x1FF, 1)
+            hx = cx >> 1
+            hy = cy >> 1
+            hz = cz >> 1
+
+            def box_axis(h, q, dd):
+                lo = jnp.where(occ3, h << 1, (q - dd + 1) << 2)
+                hi = jnp.where(occ3, (h + 1) << 1, (q + dd) << 2)
+                return lo, hi
+
+            lox, hix = box_axis(hx, qx, d)
+            loy, hiy = box_axis(hy, qy, d)
+            loz, hiz = box_axis(hz, qz, d)
 
             btx = bt_axis(lox, hix, float(oxi), sx, ox_, invx)
             bty = bt_axis(loy, hiy, float(oyi), sy, oy_, invy)
@@ -405,18 +479,13 @@ def _make_traverse(
             jy = jnp.where(sy > 0, hiy, loy - 1)
             jz = jnp.where(sz > 0, hiz, loz - 1)
             # crossing axis exits the box exactly (monotone, so the
-            # march always terminates); single-cell boxes hold the
-            # other axes (exact DDA), larger boxes follow the ray
+            # march always terminates); other axes follow the ray
             fxc = cell_from_float(ox_, dx, bt, float(oxi))
             fyc = cell_from_float(oy_, dy, bt, float(oyi))
             fzc = cell_from_float(oz_, dz, bt, float(ozi))
-            ncx = jnp.where(bsx, jx, jnp.where(single, cx, fxc))
-            ncy = jnp.where(bsy, jy, jnp.where(single, cy, fyc))
-            ncz = jnp.where(bsz, jz, jnp.where(single, cz, fzc))
-
-            cx = jnp.where(step, ncx, cx)
-            cy = jnp.where(step, ncy, cy)
-            cz = jnp.where(step, ncz, cz)
+            cx = jnp.where(step, jnp.where(bsx, jx, fxc), cx)
+            cy = jnp.where(step, jnp.where(bsy, jy, fyc), cy)
+            cz = jnp.where(step, jnp.where(bsz, jz, fzc), cz)
             # max() guards against float ping-pong freezing t; cell
             # progress is monotone regardless, t only feeds hit_t
             t = jnp.where(step, jnp.maximum(t, bt), t)
@@ -431,8 +500,9 @@ def _make_traverse(
                 t,
                 l3_cached,
                 l3_word,
-                sup_cached,
-                sup_word,
+                b_cached,
+                b_lo,
+                b_hi,
                 hit,
                 hit_t,
                 hcx,
@@ -449,7 +519,7 @@ def _make_traverse(
         state = (
             np.int32(0),
             np.int32(0),  # L3 serve-round counter (instrumentation)
-            np.int32(0),  # supercell serve-round counter (instrumentation)
+            np.int32(0),  # brick serve-round counter (instrumentation)
             active0,
             cx,
             cy,
@@ -457,8 +527,9 @@ def _make_traverse(
             t0,
             zero_i - 1,  # cached L3 word address
             zero_i,
-            zero_i - 1,  # cached supercell word address
-            zero_i,
+            zero_i - 1,  # cached brick address
+            zero_i,  # brick lo word
+            zero_i,  # brick hi word
             zero_i,  # hit mask
             zero_f,
             zero_i,
@@ -475,6 +546,7 @@ def _make_traverse(
             cy,
             cz,
             t,
+            _,
             _,
             _,
             _,
@@ -539,19 +611,17 @@ def _make_traverse(
 
 
 def _make_kernel(
-    dims, zw, origin, n_rows, super_dims, super_zw, sn_rows,
-    l3_dims, l3_zw, l3_rows,
+    dims, zw, origin, n_rows, l3_dims, l3_zw, l3_rows, b_rows,
     max_bounces=MAX_BOUNCES,
 ):
     traverse = _make_traverse(
-        dims, zw, origin, n_rows, super_dims, super_zw, sn_rows,
-        l3_dims, l3_zw, l3_rows,
+        dims, zw, origin, n_rows, l3_dims, l3_zw, l3_rows, b_rows,
     )
 
     def kernel(
         params_ref,  # (1, PARAMS_LEN) f32 SMEM
         table_ref,  # (n_rows, 128) int32 VMEM
-        super_ref,  # (sn_rows, 128) int32 VMEM
+        brick_ref,  # (b_rows, 128) int32 VMEM
         l3_ref,  # (l3_rows, 128) int32 VMEM
         palette_ref,  # (8, 128) int32 VMEM
         noise_ref,  # (24, TILE_H, TILE_W) f32 VMEM
@@ -640,7 +710,7 @@ def _make_kernel(
         for bounce in range(max_bounces):
             k0 = RANDS_PER_BOUNCE * bounce
             hit_i, t, slot, fused, (nx, ny, nz), t_iters = traverse(
-                table_ref, super_ref, l3_ref,
+                table_ref, brick_ref, l3_ref,
                 (rox, roy, roz), (rdx, rdy, rdz),
                 mask=(alive == 1),
             )
@@ -706,7 +776,7 @@ def _make_kernel(
             # (voxels.comp:339-361 pays it unconditionally).
             cos_term = jnp.maximum(0.0, _dot3(nx, ny, nz, shx, shy, shz))
             obst_i, _, _, _, _, s_iters = traverse(
-                table_ref, super_ref, l3_ref,
+                table_ref, brick_ref, l3_ref,
                 (sox, soy, soz), (shx, shy, shz),
                 mask=hit & (~specular) & (sun_strength > 0.0)
                 & (cos_term > 0.0),
@@ -825,14 +895,14 @@ def _pad_to(x, m):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dims", "zw", "origin", "n_rows", "super_dims", "super_zw",
-        "sn_rows", "l3_dims", "l3_zw", "l3_rows", "height", "width",
+        "dims", "zw", "origin", "n_rows", "l3_dims", "l3_zw",
+        "l3_rows", "b_rows", "height", "width",
         "interpret", "max_bounces",
     ),
 )
 def render_sample(
     packed_idx: jnp.ndarray,  # (n_rows, 128) int32
-    super_idx: jnp.ndarray,  # (sn_rows, 128) int32
+    brick_idx: jnp.ndarray,  # (b_rows, 128) int32
     l3_idx: jnp.ndarray,  # (l3_rows, 128) int32
     palette: jnp.ndarray,  # (8, 128) int32
     params_vec: jnp.ndarray,  # (1, PARAMS_LEN) f32
@@ -842,12 +912,10 @@ def render_sample(
     zw: int,
     origin: Tuple[int, int, int],
     n_rows: int,
-    super_dims: Tuple[int, int, int],
-    super_zw: int,
-    sn_rows: int,
     l3_dims: Tuple[int, int, int],
     l3_zw: int,
     l3_rows: int,
+    b_rows: int,
     height: int,
     width: int,
     interpret: bool = False,
@@ -876,8 +944,7 @@ def render_sample(
 
     grid = (nby, nbx)
     kernel = _make_kernel(
-        dims, zw, origin, n_rows, super_dims, super_zw, sn_rows,
-        l3_dims, l3_zw, l3_rows,
+        dims, zw, origin, n_rows, l3_dims, l3_zw, l3_rows, b_rows,
         max_bounces=max_bounces,
     )
 
@@ -908,7 +975,7 @@ def render_sample(
                 memory_space=pltpu.SMEM,
             ),
             full((n_rows, 128)),
-            full((sn_rows, 128)),
+            full((b_rows, 128)),
             full((l3_rows, 128)),
             full((8, 128)),
             pl.BlockSpec(
@@ -922,7 +989,7 @@ def render_sample(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(params_vec, packed_idx, super_idx, l3_idx, palette, noise_planes)
+    )(params_vec, packed_idx, brick_idx, l3_idx, palette, noise_planes)
 
     (cr, cg, cb, nx, ny, nz, depth, node, ar, ag, ab, dbg) = outs
 

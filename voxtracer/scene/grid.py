@@ -196,30 +196,18 @@ class GridScene:
         padded = np.zeros(n_rows * 128, np.int32)
         padded[: len(flat_words)] = flat_words
 
-        # Supercell table: one 10-bit value per 2x2x2 fine-cell block,
-        # 3 consecutive-z supercells per word, same pillar order at
-        # half resolution.  Bit 9 set: occupied, bits 0-7 = child
-        # occupancy mask (bit = (x&1)<<2 | (y&1)<<1 | (z&1)).  Bit 9
-        # clear: 9-bit capped chebyshev distance (in supercells) to the
-        # nearest occupied supercell.
+        # L3 table: one 10-bit value per 4x4x4 fine-cell block ("L3
+        # cell"): bit 9 set = occupied + 8-bit SUPERCELL (2x2x2 fine)
+        # occupancy mask (bit = (x&1)<<2 | (y&1)<<1 | (z&1) at
+        # supercell granularity); bit 9 clear = capped chebyshev
+        # distance in L3 units to the nearest occupied L3 cell.  The
+        # trace kernel *marches* this small table (cheap window
+        # serves): empty L3 cells jump by their distance — the TPU
+        # equivalent of the octree popping levels at once
+        # (voxels.comp:191-221) — and empty supercells inside an
+        # occupied L3 cell step with pure mask arithmetic.
         occ = self.values != 0
-        sup_d = native.block_dist(self.values, 1, SUPER_DIST_CAP)
-        if sup_d is None:
-            sup_d = _chebyshev_distance(
-                _block_occ(occ), cap=SUPER_DIST_CAP
-            )
-        sup_idx, super_dims, hzw, sup_mask = _pack_level(occ, sup_d)
-
-        # L3 table: the same format one level up — one 10-bit value per
-        # 2x2x2-SUPERCELL block (4x4x4 fine cells): bit 9 + 8-bit
-        # supercell-occupancy mask, or a capped chebyshev distance in
-        # L3 units.  The trace kernel *marches* this ~8x-smaller table
-        # (cheap window serves), steps across empty supercells inside
-        # an occupied L3 cell with pure mask arithmetic, and fetches
-        # the supercell table only when actually entering an occupied
-        # supercell — the TPU equivalent of the octree descending one
-        # level only where geometry is (voxels.comp:175-221).
-        sup_occ = sup_mask > 0
+        sup_occ = _block_occ(occ)
         hx, hy, hz = sup_occ.shape
         px, py = _ceil_multiple(hx, 8), _ceil_multiple(hy, 8)
         if (px, py) != (hx, hy):
@@ -236,16 +224,25 @@ class GridScene:
             l3_d = grown
         l3_idx, l3_dims, l3_zw, _ = _pack_level(sup_occ, l3_d)
 
+        # Brick table: the full 4x4x4 fine-occupancy bitmask of every
+        # L3 cell as a 64-bit pair of adjacent words (lo covers fine
+        # x%4 in {0,1}, bit = (x&1)<<4 | (y&3)<<2 | (z&3)).  On first
+        # entering an occupied supercell the kernel fetches the brick
+        # pair ONCE and then marches every fine cell of that L3 region
+        # with in-register bit tests — the per-step table fetches of a
+        # naive DDA collapse to one fetch per geometry-adjacent brick
+        # (the octree analog: reading all 8 children in one node fetch,
+        # voxels.comp:175-189).
+        brick_idx = _pack_bricks(occ, l3_dims)
+
         return {
             "packed_idx": padded.reshape(n_rows, 128),
             "palette": palette.reshape(8, 128),
             "zw": zw,
-            "super_idx": sup_idx,
-            "super_dims": super_dims,
-            "super_zw": hzw,
             "l3_idx": l3_idx,
             "l3_dims": l3_dims,
             "l3_zw": l3_zw,
+            "brick_idx": brick_idx,
         }
 
 
@@ -308,6 +305,44 @@ def _pack_level(occ: np.ndarray, dist: np.ndarray):
     padded = np.zeros(n_rows * 128, np.int32)
     padded[: len(flat)] = flat
     return padded.reshape(n_rows, 128), (bx, by, bz), bzw, mask
+
+
+def _pack_bricks(occ: np.ndarray, l3_dims) -> np.ndarray:
+    """Fine occupancy -> (rows, 128) int32 brick table.
+
+    One brick per L3 cell: a 64-bit fine-occupancy mask stored as two
+    adjacent int32 words at address ``(colq * QZ + qz) * 2`` (colq =
+    the L3 pillar column), so both words always share a 128-word row.
+    Bit ``(x&3)*16 + (y&3)*4 + (z&3)``; the low word holds bits 0-31
+    (fine x%4 in {0, 1}).
+    """
+    qx_d, qy_d, qz_d = (int(d) for d in l3_dims)
+    fx, fy, fz = qx_d * 4, qy_d * 4, qz_d * 4
+    occ_p = occ
+    if occ.shape != (fx, fy, fz):
+        occ_p = np.zeros((fx, fy, fz), bool)
+        occ_p[: occ.shape[0], : occ.shape[1], : occ.shape[2]] = occ
+    bits = (
+        occ_p.reshape(qx_d, 4, qy_d, 4, qz_d, 4)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(qx_d, qy_d, qz_d, 64)
+        .astype(np.int64)
+    )
+    weights = (np.int64(1) << np.arange(32, dtype=np.int64))
+    lo = (bits[..., :32] * weights).sum(axis=-1)
+    hi = (bits[..., 32:] * weights).sum(axis=-1)
+    words = np.stack([lo, hi], axis=-1).astype(np.uint32)  # (qx,qy,qz,2)
+    assert qx_d % 4 == 0 and qy_d % 4 == 0
+    flat = (
+        words.reshape(qx_d // 4, 4, qy_d // 4, 4, qz_d, 2)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(-1)
+        .view(np.int32)
+    )
+    n_rows = max(16, _ceil_multiple(len(flat), 128) // 128)
+    padded = np.zeros(n_rows * 128, np.int32)
+    padded[: len(flat)] = flat
+    return padded.reshape(n_rows, 128)
 
 
 def _quantize_leaves(leaves: np.ndarray) -> np.ndarray:
