@@ -39,8 +39,8 @@ def _compare(scene, cam, w=128, h=64, seed=7):
     pvec = trace_pallas.pack_params(cam_arr, params)
     x = trace_pallas.render_sample(
         jnp.asarray(t["packed_idx"]),
+        jnp.asarray(t["meta_idx"]),
         jnp.asarray(t["brick_idx"]),
-        jnp.asarray(t["l3_idx"]),
         jnp.asarray(t["palette"]),
         jnp.asarray(pvec),
         jnp.asarray(planes),
@@ -49,8 +49,7 @@ def _compare(scene, cam, w=128, h=64, seed=7):
         origin=tuple(int(v) for v in scene.origin),
         n_rows=t["packed_idx"].shape[0],
         l3_dims=t["l3_dims"],
-        l3_zw=t["l3_zw"],
-        l3_rows=t["l3_idx"].shape[0],
+        m_rows=t["meta_idx"].shape[0],
         b_rows=t["brick_idx"].shape[0],
         height=h,
         width=w,

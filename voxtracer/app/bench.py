@@ -87,8 +87,8 @@ def config1_oracle_match(quick=False):
     cam_arr = np.stack([cam.position, right, up, forward]).astype(np.float32)
     x = trace_pallas.render_sample(
         jnp.asarray(t["packed_idx"]),
+        jnp.asarray(t["meta_idx"]),
         jnp.asarray(t["brick_idx"]),
-        jnp.asarray(t["l3_idx"]),
         jnp.asarray(t["palette"]),
         jnp.asarray(trace_pallas.pack_params(cam_arr, params)),
         jnp.asarray(planes),
@@ -97,8 +97,7 @@ def config1_oracle_match(quick=False):
         origin=tuple(int(v) for v in scene.origin),
         n_rows=t["packed_idx"].shape[0],
         l3_dims=t["l3_dims"],
-        l3_zw=t["l3_zw"],
-        l3_rows=t["l3_idx"].shape[0],
+        m_rows=t["meta_idx"].shape[0],
         b_rows=t["brick_idx"].shape[0],
         height=size,
         width=size,

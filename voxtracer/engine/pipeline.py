@@ -77,9 +77,7 @@ def render_frame_impl(
     shard_mesh=None,  # jax.sharding.Mesh: shard the Pallas trace stage
     shard_axis: str = "rows",
 ):
-    (
-        dims, origin, zw, n_rows, l3_dims, l3_zw, l3_rows, b_rows,
-    ) = scene_meta
+    dims, origin, zw, n_rows, l3_dims, m_rows, b_rows = scene_meta
     planes = noise_op.noise_planes(
         noise_buffer, frame_number, height, width, xp=jnp
     )
@@ -95,8 +93,7 @@ def render_frame_impl(
             origin=origin,
             n_rows=n_rows,
             l3_dims=l3_dims,
-            l3_zw=l3_zw,
-            l3_rows=l3_rows,
+            m_rows=m_rows,
             b_rows=b_rows,
             width=width,
             interpret=interpret,
@@ -104,8 +101,8 @@ def render_frame_impl(
         if shard_mesh is None:
             gbuf = trace_pallas.render_sample(
                 scene_arrays["packed_idx"],
+                scene_arrays["meta_idx"],
                 scene_arrays["brick_idx"],
-                scene_arrays["l3_idx"],
                 scene_arrays["palette"],
                 params_vec,
                 planes,
@@ -124,13 +121,13 @@ def render_frame_impl(
             n_dev = shard_mesh.devices.size
             slab = height // n_dev
 
-            def _trace(packed, brick, l3, pal, pv, planes_slab):
+            def _trace(packed, meta, brick, pal, pv, planes_slab):
                 row0 = (
                     jax.lax.axis_index(shard_axis) * slab
                 ).astype(jnp.float32)
                 pv = pv.at[0, 30].set(row0)
                 return trace_pallas.render_sample(
-                    packed, brick, l3, pal, pv, planes_slab,
+                    packed, meta, brick, pal, pv, planes_slab,
                     height=slab, **trace_kw,
                 )
 
@@ -145,13 +142,15 @@ def render_frame_impl(
             gbuf = shard_map(
                 _trace,
                 mesh=shard_mesh,
-                in_specs=(P(), P(), P(), P(), P(), P(None, shard_axis, None)),
+                in_specs=(
+                    P(), P(), P(), P(), P(), P(None, shard_axis, None),
+                ),
                 out_specs=out_specs,
                 check_rep=False,
             )(
                 scene_arrays["packed_idx"],
+                scene_arrays["meta_idx"],
                 scene_arrays["brick_idx"],
-                scene_arrays["l3_idx"],
                 scene_arrays["palette"],
                 params_vec,
                 planes,

@@ -61,8 +61,8 @@ WIN_ROWS = 16  # rows per serve window (8 and 32 measured slower)
 # L3/supercell tables, where narrow windows waste fewer gathers.
 import os as _os
 
-L3_WIN = int(_os.environ.get("VOX_L3_WIN", WIN_ROWS))
-SUP_WIN = int(_os.environ.get("VOX_SUP_WIN", 32))  # 16/64 measured slower
+META_WIN = int(_os.environ.get("VOX_META_WIN", 16))
+BRICK_WIN = int(_os.environ.get("VOX_BRICK_WIN", 32))
 # Unrolled in-register fine-DDA steps per brick visit.  10 covers any
 # chord through a 4x4x4 brick (4+4+4-2); fewer steps are still correct
 # (the outer loop re-enters with the brick cached) but re-pay the
@@ -234,11 +234,13 @@ def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
         col = waddr & 127
         for s8 in range(win):
             row_b = jnp.broadcast_to(window[s8 : s8 + 1, :], waddr.shape)
-            g_lo = jnp.take_along_axis(row_b, col, axis=1)
-            g_hi = jnp.take_along_axis(row_b, col | 1, axis=1)
             serve = in_win & (off == s8)
-            lo_ = jnp.where(serve, g_lo, lo_)
-            hi_ = jnp.where(serve, g_hi, hi_)
+            lo_ = jnp.where(
+                serve, jnp.take_along_axis(row_b, col, axis=1), lo_
+            )
+            hi_ = jnp.where(
+                serve, jnp.take_along_axis(row_b, col | 1, axis=1), hi_
+            )
             cached_ = jnp.where(serve, waddr, cached_)
         return lo_, hi_, cached_
 
@@ -259,29 +261,26 @@ def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
     return lo, hi, cached, kf
 
 
-def _make_traverse(
-    dims, zw, origin, n_rows, l3_dims, l3_zw, l3_rows, b_rows,
-):
-    """Build the in-kernel brick-DDA traversal closure.
+def _make_traverse(dims, zw, origin, n_rows, l3_dims, m_rows, b_rows):
+    """Build the in-kernel node-DDA traversal closure.
 
-    The march runs on the L3 table (4x4x4 fine cells per 10-bit value,
-    ``GridScene.device_tables``), whose ~30 rows make every window
-    serve 1-2 rounds.  An empty L3 cell carries a chebyshev distance d
-    certifying every L3 cell within radius d-1 empty, so the ray jumps
-    to the exit of that box (the TPU equivalent of the octree popping
-    levels at once, voxels.comp:191-221).  An occupied L3 cell carries
-    its 8-bit SUPERCELL mask: stepping across its empty supercells is
-    pure arithmetic, and only on entering an occupied supercell does
-    the kernel fetch that L3 cell's BRICK — the full 64-bit fine
-    occupancy as one adjacent word pair — after which an unrolled
-    micro-DDA tests and steps every fine cell of the region with
-    in-register bit tests, zero further fetches (the octree analog:
-    one node fetch answers all children, voxels.comp:175-189).  The
-    fine palette table is consulted exactly once per traversal, to
-    resolve the slot at the recorded hit cell.
+    One logical node per 4x4x4 fine-cell block — the TPU shape of an
+    octree node read whole (voxels.comp:175-189) — split over two
+    tables by access pattern.  The march serves the tiny 16-bit META
+    table every L3-scale step: an empty node's meta is a chebyshev
+    distance d certifying every node within radius d-1 empty, so the
+    ray jumps to the exit of that box (the octree's multi-level pop,
+    voxels.comp:191-221); an occupied node's meta carries its uniform
+    palette slot, resolving hit color on the spot for single-color
+    blocks (mixed blocks consult the fine table once, at the recorded
+    hit).  On entering an occupied node the BRICK table supplies the
+    block's 64-bit fine mask as an adjacent word pair, marched by an
+    unrolled micro-DDA with in-register bit tests — zero further
+    fetches.
     """
     X, Y, Z = (int(d) for d in dims)
     QX, QY, QZ = (int(d) for d in l3_dims)
+    QZW2 = -(-QZ // 2)
     assert Z < 32768, f"z extent {Z} exceeds the _div3 exact range"
     PY4 = -(-Y // 4)
     QY4 = -(-QY // 4)
@@ -293,7 +292,7 @@ def _make_traverse(
         (ozi + Z) * CELL_SIZE,
     )
 
-    def traverse(table_ref, brick_ref, l3_ref, o3, d3, mask=None):
+    def traverse(table_ref, meta_ref, brick_ref, o3, d3, mask=None):
         """Returns (hit i32, t, slot i32, fused, normal tuple, counters).
 
         ``mask`` (bool) gates which lanes traverse at all — dead paths
@@ -347,8 +346,9 @@ def _make_traverse(
             return jnp.logical_and(it < MAX_OUTER_ITERS, jnp.max(active) > 0)
 
         def one_step(
-            nserv, nact, active, cx, cy, cz, t, l3_cached, l3_word,
-            b_cached, b_lo, b_hi, hit, hit_t, hcx, hcy, hcz,
+            nserv, nact, active, cx, cy, cz, t,
+            m_cached, m_word, b_cached, b_lo, b_hi, hslot_u,
+            hit, hit_t, hcx, hcy, hcz,
         ):
             # 1. bounds check (oracle order: before the value test)
             inb = (
@@ -362,37 +362,30 @@ def _make_traverse(
             active = active * inb
             act = active == 1
 
-            # 2. fetch the L3 word (tiny table: 1-2 serve rounds)
+            # 2. fetch the node's 16-bit meta (tiny march table:
+            # occupancy + uniform slot, or empty-space distance)
             qx = cx >> 2
             qy = cy >> 2
             qz = cz >> 2
-            qzw3 = _div3(qz)
             l3_col = ((qx >> 2) * QY4 + (qy >> 2)) * 16 + (
                 (qx & 3) << 2
             ) + (qy & 3)
-            l3_addr = jnp.where(act, l3_col * l3_zw + qzw3, 0)
-            l3_word, l3_cached, kf = _serve_loop(
-                l3_ref, l3_rows, l3_addr, act, l3_word, l3_cached,
-                win=L3_WIN,
+            m_addr = jnp.where(act, l3_col * QZW2 + (qz >> 1), 0)
+            m_word, m_cached, kf = _serve_loop(
+                meta_ref, m_rows, m_addr, act, m_word, m_cached,
+                win=META_WIN,
             )
             nserv = nserv + kf
+            val = (m_word >> ((qz & 1) << 4)) & 0xFFFF
+            occ3 = (val & 0x8000) != 0
 
-            val3 = (l3_word >> ((qz - qzw3 * 3) * 10)) & 1023
-            occ3 = (val3 & 0x200) != 0
-
-            # 3. occupied L3: its supercell mask says whether the
-            # current supercell holds geometry (no fetch)
-            sbit = (
-                ((cx >> 1 & 1) << 2) | ((cy >> 1 & 1) << 1) | (cz >> 1 & 1)
-            )
-            in_sup = act & occ3 & (((val3 >> sbit) & 1) == 1)
-
-            # 4. lanes inside an occupied supercell fetch the L3
-            # cell's BRICK (64-bit fine mask, adjacent word pair)
-            b_addr = jnp.where(in_sup, (l3_col * QZ + qz) * 2, 0)
+            # 3. lanes in an occupied node fetch its brick (64-bit
+            # fine mask, adjacent word pair)
+            b_need = act & occ3
+            b_addr = jnp.where(b_need, (l3_col * QZ + qz) * 2, 0)
             b_lo, b_hi, b_cached, kf2 = _serve_loop_pair(
-                brick_ref, b_rows, b_addr, in_sup, b_lo, b_hi, b_cached,
-                win=SUP_WIN,
+                brick_ref, b_rows, b_addr, b_need, b_lo, b_hi, b_cached,
+                win=BRICK_WIN,
             )
             nact = nact + kf2
 
@@ -401,12 +394,12 @@ def _make_traverse(
                 nb = (og + bnd.astype(jnp.float32)) * CELL_SIZE
                 return jnp.where(sgn != 0, (nb - o) * inv, inf)
 
-            # 5a. micro-DDA: lanes holding their brick march its fine
+            # 4a. micro-DDA: lanes in an occupied node march its fine
             # cells with in-register bit tests — test the current
             # cell, single-cell exact DDA advance, stop on hit or on
-            # leaving the brick.  All other lanes skip (masked).
+            # leaving the node.  All other lanes skip (masked).
             qx0, qy0, qz0 = qx, qy, qz
-            run = in_sup
+            run = act & occ3
 
             def brick_bit(cx_, cy_, cz_):
                 cxm = cx_ & 3
@@ -436,7 +429,7 @@ def _make_traverse(
                     & ((cz >> 2) == qz0)
                 )
             found_any = (
-                in_sup
+                act & occ3
                 & ((cx >> 2) == qx0) & ((cy >> 2) == qy0)
                 & ((cz >> 2) == qz0)
                 & brick_bit(cx, cy, cz)
@@ -446,27 +439,20 @@ def _make_traverse(
             hcx = jnp.where(found_any, cx, hcx)
             hcy = jnp.where(found_any, cy, hcy)
             hcz = jnp.where(found_any, cz, hcz)
+            hslot_u = jnp.where(found_any, val & 0x3FF, hslot_u)
             active = active * (1 - found_any.astype(jnp.int32))
 
-            # 5b. box advance for everyone else:
-            #   occupied L3, empty supercell (brick not cached): that
-            #     supercell's box;
-            #   empty L3 with distance d: the certified-empty L3 box
-            #     [ (q-d+1)*4, (q+d)*4 ) in fine cells.
-            step = act & (~in_sup)
-            d = jnp.maximum(val3 & 0x1FF, 1)
-            hx = cx >> 1
-            hy = cy >> 1
-            hz = cz >> 1
+            # 4b. box advance for empty nodes: distance d certifies
+            # the node box [ (q-d+1)*4, (q+d)*4 ) empty in fine cells.
+            step = act & (~occ3)
+            d = jnp.maximum(val & 0x1FF, 1)
 
-            def box_axis(h, q, dd):
-                lo = jnp.where(occ3, h << 1, (q - dd + 1) << 2)
-                hi = jnp.where(occ3, (h + 1) << 1, (q + dd) << 2)
-                return lo, hi
+            def box_axis(q, dd):
+                return (q - dd + 1) << 2, (q + dd) << 2
 
-            lox, hix = box_axis(hx, qx, d)
-            loy, hiy = box_axis(hy, qy, d)
-            loz, hiz = box_axis(hz, qz, d)
+            lox, hix = box_axis(qx, d)
+            loy, hiy = box_axis(qy, d)
+            loz, hiz = box_axis(qz, d)
 
             btx = bt_axis(lox, hix, float(oxi), sx, ox_, invx)
             bty = bt_axis(loy, hiy, float(oyi), sy, oy_, invy)
@@ -498,11 +484,12 @@ def _make_traverse(
                 cy,
                 cz,
                 t,
-                l3_cached,
-                l3_word,
+                m_cached,
+                m_word,
                 b_cached,
                 b_lo,
                 b_hi,
+                hslot_u,
                 hit,
                 hit_t,
                 hcx,
@@ -518,18 +505,19 @@ def _make_traverse(
 
         state = (
             np.int32(0),
-            np.int32(0),  # L3 serve-round counter (instrumentation)
+            np.int32(0),  # meta serve-round counter (instrumentation)
             np.int32(0),  # brick serve-round counter (instrumentation)
             active0,
             cx,
             cy,
             cz,
             t0,
-            zero_i - 1,  # cached L3 word address
-            zero_i,
+            zero_i - 1,  # cached meta word address
+            zero_i,  # meta word
             zero_i - 1,  # cached brick address
-            zero_i,  # brick lo word
-            zero_i,  # brick hi word
+            zero_i,  # fine-mask lo word
+            zero_i,  # fine-mask hi word
+            zero_i,  # captured hit uniform slot
             zero_i,  # hit mask
             zero_f,
             zero_i,
@@ -551,6 +539,7 @@ def _make_traverse(
             _,
             _,
             _,
+            hslot_u,
             hit,
             hit_t,
             hcx,
@@ -567,10 +556,11 @@ def _make_traverse(
         hcz = jnp.where(fused, cz, hcz)
         hitb = hit == 1
 
-        # resolve the palette slot at the hit cell from the fine table
-        # (one serve for the whole traversal; fused lanes render as
+        # resolve the palette slot at the hit cell: hits in uniform
+        # blocks carry it in the node record; only mixed blocks pay a
+        # fine-table serve (once per traversal; fused lanes render as
         # opaque black and skip it)
-        need_slot = hitb & (~fused)
+        need_slot = hitb & (~fused) & (hslot_u == 0)
         fzw = _div3(hcz)
         fcol = ((hcx >> 2) * PY4 + (hcy >> 2)) * 16 + ((hcx & 3) << 2) + (
             hcy & 3
@@ -581,8 +571,9 @@ def _make_traverse(
             win=FINE_WIN,
         )
         hslot = jnp.where(
-            need_slot, (fword >> ((hcz - fzw * 3) * 10)) & 1023, 0
+            need_slot, (fword >> ((hcz - fzw * 3) * 10)) & 1023, hslot_u
         )
+        hslot = jnp.where(hitb & (~fused), hslot, 0)
         n_fine = kf2
 
         # normal: dominant axis of (hit point - cell center), sign
@@ -611,18 +602,18 @@ def _make_traverse(
 
 
 def _make_kernel(
-    dims, zw, origin, n_rows, l3_dims, l3_zw, l3_rows, b_rows,
+    dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
     max_bounces=MAX_BOUNCES,
 ):
     traverse = _make_traverse(
-        dims, zw, origin, n_rows, l3_dims, l3_zw, l3_rows, b_rows,
+        dims, zw, origin, n_rows, l3_dims, m_rows, b_rows
     )
 
     def kernel(
         params_ref,  # (1, PARAMS_LEN) f32 SMEM
         table_ref,  # (n_rows, 128) int32 VMEM
+        meta_ref,  # (m_rows, 128) int32 VMEM
         brick_ref,  # (b_rows, 128) int32 VMEM
-        l3_ref,  # (l3_rows, 128) int32 VMEM
         palette_ref,  # (8, 128) int32 VMEM
         noise_ref,  # (24, TILE_H, TILE_W) f32 VMEM
         color_r_ref,
@@ -632,7 +623,7 @@ def _make_kernel(
         normal_y_ref,
         normal_z_ref,
         depth_ref,
-        node_ref,
+        nodeid_ref,
         albedo_r_ref,
         albedo_g_ref,
         albedo_b_ref,
@@ -710,7 +701,7 @@ def _make_kernel(
         for bounce in range(max_bounces):
             k0 = RANDS_PER_BOUNCE * bounce
             hit_i, t, slot, fused, (nx, ny, nz), t_iters = traverse(
-                table_ref, brick_ref, l3_ref,
+                table_ref, meta_ref, brick_ref,
                 (rox, roy, roz), (rdx, rdy, rdz),
                 mask=(alive == 1),
             )
@@ -776,7 +767,7 @@ def _make_kernel(
             # (voxels.comp:339-361 pays it unconditionally).
             cos_term = jnp.maximum(0.0, _dot3(nx, ny, nz, shx, shy, shz))
             obst_i, _, _, _, _, s_iters = traverse(
-                table_ref, brick_ref, l3_ref,
+                table_ref, meta_ref, brick_ref,
                 (sox, soy, soz), (shx, shy, shz),
                 mask=hit & (~specular) & (sun_strength > 0.0)
                 & (cos_term > 0.0),
@@ -867,7 +858,7 @@ def _make_kernel(
         normal_y_ref[:] = first_ny
         normal_z_ref[:] = first_nz
         depth_ref[:] = first_t
-        node_ref[:] = first_node
+        nodeid_ref[:] = first_node
         emiss_first = (first_node & EMISSIVE_BIT) != 0
         fr, fg, fb = node_rgb(first_node)
         albedo_r_ref[:] = jnp.where(emiss_first, 1.0, fr)
@@ -895,15 +886,14 @@ def _pad_to(x, m):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dims", "zw", "origin", "n_rows", "l3_dims", "l3_zw",
-        "l3_rows", "b_rows", "height", "width",
-        "interpret", "max_bounces",
+        "dims", "zw", "origin", "n_rows", "l3_dims", "m_rows",
+        "b_rows", "height", "width", "interpret", "max_bounces",
     ),
 )
 def render_sample(
     packed_idx: jnp.ndarray,  # (n_rows, 128) int32
+    meta_idx: jnp.ndarray,  # (m_rows, 128) int32
     brick_idx: jnp.ndarray,  # (b_rows, 128) int32
-    l3_idx: jnp.ndarray,  # (l3_rows, 128) int32
     palette: jnp.ndarray,  # (8, 128) int32
     params_vec: jnp.ndarray,  # (1, PARAMS_LEN) f32
     noise_planes: jnp.ndarray,  # (24, H, W) f32
@@ -913,8 +903,7 @@ def render_sample(
     origin: Tuple[int, int, int],
     n_rows: int,
     l3_dims: Tuple[int, int, int],
-    l3_zw: int,
-    l3_rows: int,
+    m_rows: int,
     b_rows: int,
     height: int,
     width: int,
@@ -944,7 +933,7 @@ def render_sample(
 
     grid = (nby, nbx)
     kernel = _make_kernel(
-        dims, zw, origin, n_rows, l3_dims, l3_zw, l3_rows, b_rows,
+        dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         max_bounces=max_bounces,
     )
 
@@ -975,8 +964,8 @@ def render_sample(
                 memory_space=pltpu.SMEM,
             ),
             full((n_rows, 128)),
+            full((m_rows, 128)),
             full((b_rows, 128)),
-            full((l3_rows, 128)),
             full((8, 128)),
             pl.BlockSpec(
                 (24, TILE_H, TILE_W),
@@ -989,7 +978,7 @@ def render_sample(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(params_vec, packed_idx, brick_idx, l3_idx, palette, noise_planes)
+    )(params_vec, packed_idx, meta_idx, brick_idx, palette, noise_planes)
 
     (cr, cg, cb, nx, ny, nz, depth, node, ar, ag, ab, dbg) = outs
 

@@ -145,14 +145,13 @@ def scene_device_args(scene, trace_impl: str = "all"):
         int(tables["zw"]),
         int(tables["packed_idx"].shape[0]),
         tuple(int(d) for d in tables["l3_dims"]),
-        int(tables["l3_zw"]),
-        int(tables["l3_idx"].shape[0]),
+        int(tables["meta_idx"].shape[0]),
         int(tables["brick_idx"].shape[0]),
     )
     arrays = {
         "packed_idx": jnp.asarray(tables["packed_idx"]),
+        "meta_idx": jnp.asarray(tables["meta_idx"]),
         "brick_idx": jnp.asarray(tables["brick_idx"]),
-        "l3_idx": jnp.asarray(tables["l3_idx"]),
         "palette": jnp.asarray(tables["palette"]),
     }
     if trace_impl != "pallas":

@@ -50,15 +50,8 @@ PALETTE_CAPACITY = 1024
 RESERVED_SLOTS = 32
 DIST_CAP = RESERVED_SLOTS - 1
 
-# Supercell (2x2x2) table: empty supercells carry a 9-bit capped
-# chebyshev distance in supercell units (bit 9 = occupied flag).
-# Stored through a uint8 field: distances wrap mod 256 above 255,
-# which is always a SHORTER (safe) jump; the cap mainly documents the
-# 9-bit encoding headroom.
-SUPER_DIST_CAP = 511
-
-# L3 (2x2x2 supercells = 4x4x4 fine cells) table distance cap; kept
-# within uint8 so the native distance field stores it exactly.
+# L3 (4x4x4 fine cells) node-table distance cap; kept within uint8 so
+# the native distance field stores it exactly.
 L3_DIST_CAP = 255
 
 
@@ -196,16 +189,18 @@ class GridScene:
         padded = np.zeros(n_rows * 128, np.int32)
         padded[: len(flat_words)] = flat_words
 
-        # L3 table: one 10-bit value per 4x4x4 fine-cell block ("L3
-        # cell"): bit 9 set = occupied + 8-bit SUPERCELL (2x2x2 fine)
-        # occupancy mask (bit = (x&1)<<2 | (y&1)<<1 | (z&1) at
-        # supercell granularity); bit 9 clear = capped chebyshev
-        # distance in L3 units to the nearest occupied L3 cell.  The
-        # trace kernel *marches* this small table (cheap window
-        # serves): empty L3 cells jump by their distance — the TPU
-        # equivalent of the octree popping levels at once
-        # (voxels.comp:191-221) — and empty supercells inside an
-        # occupied L3 cell step with pure mask arithmetic.
+        # Two node-level tables over 4x4x4 fine-cell blocks ("L3
+        # cells") — together the TPU counterpart of an octree node
+        # (voxels.comp:175-189), split by access pattern:
+        #   meta_idx — the tiny march table the DDA serves on every
+        #     L3 step (2 x 16-bit values per word): bit 15 set =
+        #     occupied with bits 0-9 the block's uniform palette slot
+        #     (0 if mixed, resolved from the fine table at the hit);
+        #     bit 15 clear = capped chebyshev distance in L3 units
+        #     (the octree's multi-level pop, voxels.comp:191-221).
+        #   brick_idx — the block's full 64-bit fine-occupancy mask as
+        #     an adjacent word pair, fetched only on entering an
+        #     occupied block, then marched entirely in registers.
         occ = self.values != 0
         sup_occ = _block_occ(occ)
         hx, hy, hz = sup_occ.shape
@@ -214,35 +209,26 @@ class GridScene:
             grown = np.zeros((px, py, hz), bool)
             grown[:hx, :hy, :] = sup_occ
             sup_occ = grown
+        l3_occ = _block_occ(sup_occ)
         l3_d = native.block_dist(self.values, 2, L3_DIST_CAP)
         if l3_d is None:
-            l3_d = _chebyshev_distance(_block_occ(sup_occ), cap=L3_DIST_CAP)
-        qd = _block_occ(sup_occ).shape
-        if l3_d.shape != qd:  # native dims follow the unpadded grid
-            grown = np.zeros(qd, l3_d.dtype)
+            l3_d = _chebyshev_distance(l3_occ, cap=L3_DIST_CAP)
+        if l3_d.shape != l3_occ.shape:  # native follows unpadded dims
+            grown = np.zeros(l3_occ.shape, l3_d.dtype)
             grown[: l3_d.shape[0], : l3_d.shape[1], : l3_d.shape[2]] = l3_d
             l3_d = grown
-        l3_idx, l3_dims, l3_zw, _ = _pack_level(sup_occ, l3_d)
-
-        # Brick table: the full 4x4x4 fine-occupancy bitmask of every
-        # L3 cell as a 64-bit pair of adjacent words (lo covers fine
-        # x%4 in {0,1}, bit = (x&1)<<4 | (y&3)<<2 | (z&3)).  On first
-        # entering an occupied supercell the kernel fetches the brick
-        # pair ONCE and then marches every fine cell of that L3 region
-        # with in-register bit tests — the per-step table fetches of a
-        # naive DDA collapse to one fetch per geometry-adjacent brick
-        # (the octree analog: reading all 8 children in one node fetch,
-        # voxels.comp:175-189).
-        brick_idx = _pack_bricks(occ, l3_dims)
+        l3_dims = l3_occ.shape
+        meta_idx, brick_idx = _pack_nodes(
+            self.values, occ, l3_occ, l3_d, l3_dims, palette
+        )
 
         return {
             "packed_idx": padded.reshape(n_rows, 128),
             "palette": palette.reshape(8, 128),
             "zw": zw,
-            "l3_idx": l3_idx,
-            "l3_dims": l3_dims,
-            "l3_zw": l3_zw,
+            "meta_idx": meta_idx,
             "brick_idx": brick_idx,
+            "l3_dims": l3_dims,
         }
 
 
@@ -254,87 +240,14 @@ def _block_occ(occ: np.ndarray) -> np.ndarray:
     return occ.reshape(cx // 2, 2, cy // 2, 2, -1, 2).any(axis=(1, 3, 5))
 
 
-def _pack_level(occ: np.ndarray, dist: np.ndarray):
-    """Pack one pyramid level into the kernel's word table.
-
-    ``occ`` is child-level occupancy with x/y multiples of 8 (so the
-    block level divides the 4x4 pillar layout).  Each 10-bit value
-    covers a 2x2x2 child block: bit 9 set = occupied with bits 0-7 the
-    child mask (bit = (x&1)<<2 | (y&1)<<1 | (z&1)); bit 9 clear = the
-    capped chebyshev block distance from ``dist``.  3 consecutive-z
-    values pack per int32 word, words in 4x4 (x, y)-block pillar order.
-
-    Returns ``(table (rows, 128) int32, (bx, by, bz), bzw, mask)``.
-    """
-    cx, cy, cz = occ.shape
-    bx, by, bz = cx // 2, cy // 2, -(-cz // 2)
-    occ_p = occ
-    if bz * 2 != cz:
-        occ_p = np.concatenate(
-            [occ, np.zeros((cx, cy, 1), bool)], axis=2
-        )
-    kids = occ_p.reshape(bx, 2, by, 2, bz, 2)
-    mask = np.zeros((bx, by, bz), np.uint16)
-    for ix in range(2):
-        for iy in range(2):
-            for iz in range(2):
-                bit = (ix << 2) | (iy << 1) | iz
-                mask |= kids[:, ix, :, iy, :, iz].astype(
-                    np.uint16
-                ) << np.uint16(bit)
-    val = np.where(
-        mask > 0, np.uint16(0x200) | mask, dist.astype(np.uint16)
-    ).astype(np.int64)
-    bzw = -(-bz // 3)
-    if bzw * 3 != bz:
-        val = np.concatenate(
-            [val, np.zeros((bx, by, bzw * 3 - bz), np.int64)], axis=2
-        )
-    words = (
-        (val.reshape(bx, by, bzw, 3) << np.array([0, 10, 20], np.int64))
-        .sum(axis=3)
-    ).astype(np.uint32)
+def _pillar_pack(words: np.ndarray, group: int) -> np.ndarray:
+    """(bx, by, bz, group) uint32 -> (rows, 128) int32 in 4x4 pillar
+    order; ``group`` consecutive words per cell (never straddling a
+    128-word row for group in {1, 2, 4})."""
+    bx, by, bz = words.shape[:3]
     assert bx % 4 == 0 and by % 4 == 0
     flat = (
-        words.reshape(bx // 4, 4, by // 4, 4, bzw)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(-1)
-        .view(np.int32)
-    )
-    n_rows = max(16, _ceil_multiple(len(flat), 128) // 128)
-    padded = np.zeros(n_rows * 128, np.int32)
-    padded[: len(flat)] = flat
-    return padded.reshape(n_rows, 128), (bx, by, bz), bzw, mask
-
-
-def _pack_bricks(occ: np.ndarray, l3_dims) -> np.ndarray:
-    """Fine occupancy -> (rows, 128) int32 brick table.
-
-    One brick per L3 cell: a 64-bit fine-occupancy mask stored as two
-    adjacent int32 words at address ``(colq * QZ + qz) * 2`` (colq =
-    the L3 pillar column), so both words always share a 128-word row.
-    Bit ``(x&3)*16 + (y&3)*4 + (z&3)``; the low word holds bits 0-31
-    (fine x%4 in {0, 1}).
-    """
-    qx_d, qy_d, qz_d = (int(d) for d in l3_dims)
-    fx, fy, fz = qx_d * 4, qy_d * 4, qz_d * 4
-    occ_p = occ
-    if occ.shape != (fx, fy, fz):
-        occ_p = np.zeros((fx, fy, fz), bool)
-        occ_p[: occ.shape[0], : occ.shape[1], : occ.shape[2]] = occ
-    bits = (
-        occ_p.reshape(qx_d, 4, qy_d, 4, qz_d, 4)
-        .transpose(0, 2, 4, 1, 3, 5)
-        .reshape(qx_d, qy_d, qz_d, 64)
-        .astype(np.int64)
-    )
-    weights = (np.int64(1) << np.arange(32, dtype=np.int64))
-    lo = (bits[..., :32] * weights).sum(axis=-1)
-    hi = (bits[..., 32:] * weights).sum(axis=-1)
-    words = np.stack([lo, hi], axis=-1).astype(np.uint32)  # (qx,qy,qz,2)
-    assert qx_d % 4 == 0 and qy_d % 4 == 0
-    flat = (
-        words.reshape(qx_d // 4, 4, qy_d // 4, 4, qz_d, 2)
+        words.reshape(bx // 4, 4, by // 4, 4, bz, group)
         .transpose(0, 2, 1, 3, 4, 5)
         .reshape(-1)
         .view(np.int32)
@@ -343,6 +256,81 @@ def _pack_bricks(occ: np.ndarray, l3_dims) -> np.ndarray:
     padded = np.zeros(n_rows * 128, np.int32)
     padded[: len(flat)] = flat
     return padded.reshape(n_rows, 128)
+
+
+def _pack_nodes(
+    values: np.ndarray,
+    occ: np.ndarray,
+    l3_occ: np.ndarray,
+    l3_d: np.ndarray,
+    l3_dims,
+    palette: np.ndarray,
+):
+    """Build (meta_idx, brick_idx) — see ``device_tables``.
+
+    meta: one 16-bit value per L3 cell, two per word at address
+    ``colq * ceil(QZ/2) + qz//2`` (halfword ``qz & 1``).  brick: the
+    64-bit fine mask as adjacent words at ``(colq * QZ + qz) * 2``
+    (bit ``(x&3)*16 + (y&3)*4 + (z&3)``; first word holds bits 0-31).
+    """
+    qx_d, qy_d, qz_d = (int(d) for d in l3_dims)
+    fx, fy, fz = qx_d * 4, qy_d * 4, qz_d * 4
+    occ_p = occ
+    vals_p = values
+    if occ.shape != (fx, fy, fz):
+        occ_p = np.zeros((fx, fy, fz), bool)
+        occ_p[: occ.shape[0], : occ.shape[1], : occ.shape[2]] = occ
+        vals_p = np.zeros((fx, fy, fz), np.int32)
+        vals_p[
+            : values.shape[0], : values.shape[1], : values.shape[2]
+        ] = values
+    bits = (
+        occ_p.reshape(qx_d, 4, qy_d, 4, qz_d, 4)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(qx_d, qy_d, qz_d, 64)
+        .astype(np.int64)
+    )
+    weights = np.int64(1) << np.arange(32, dtype=np.int64)
+    lo = (bits[..., :32] * weights).sum(axis=-1)
+    hi = (bits[..., 32:] * weights).sum(axis=-1)
+    brick_idx = _pillar_pack(
+        np.stack([lo, hi], axis=-1).astype(np.uint32), 2
+    )
+
+    # uniform palette slot per block (0 when mixed / empty)
+    v64 = vals_p.astype(np.int64)
+    vb = (
+        v64.reshape(qx_d, 4, qy_d, 4, qz_d, 4)
+        .transpose(0, 2, 4, 1, 3, 5)
+        .reshape(qx_d, qy_d, qz_d, 64)
+    )
+    occ_b = bits == 1
+    big = np.int64(1) << 62
+    vmin = np.where(occ_b, vb, big).min(axis=-1)
+    vmax = np.where(occ_b, vb, -big).max(axis=-1)
+    uniform = l3_occ & (vmin == vmax)
+    # value -> palette slot (leaf values are distinct in the palette)
+    pal = palette.reshape(-1).astype(np.int64)
+    order = np.argsort(pal, kind="stable")
+    pal_sorted = pal[order]
+    uval = np.where(uniform, vmin, np.int64(0))
+    pos = np.searchsorted(pal_sorted, uval)
+    pos = np.clip(pos, 0, len(pal) - 1)
+    slot = np.where(
+        uniform & (pal_sorted[pos] == uval), order[pos], 0
+    ).astype(np.int64)
+
+    meta16 = np.where(
+        l3_occ, np.int64(0x8000) | slot, l3_d.astype(np.int64)
+    )
+    if qz_d % 2:
+        meta16 = np.concatenate(
+            [meta16, np.zeros((qx_d, qy_d, 1), np.int64)], axis=2
+        )
+    m2 = meta16.reshape(qx_d, qy_d, -1, 2)
+    meta_words = (m2[..., 0] | (m2[..., 1] << 16)).astype(np.uint32)
+    meta_idx = _pillar_pack(meta_words[..., None], 1)
+    return meta_idx, brick_idx
 
 
 def _quantize_leaves(leaves: np.ndarray) -> np.ndarray:
