@@ -164,7 +164,7 @@ def test_cli_headless_render(tmp_path):
 
 
 def test_renderer_falls_back_for_oversized_scene(monkeypatch):
-    """Scenes whose packed table exceeds the VMEM budget must route to
+    """Scenes whose node tables exceed the VMEM budget must route to
     the XLA kernel instead of crashing the Pallas path."""
     from voxtracer.engine import pipeline as pl_mod
 
@@ -174,6 +174,37 @@ def test_renderer_falls_back_for_oversized_scene(monkeypatch):
     assert r.trace_impl == "xla"
     out = r.render(Camera(position=np.array([0.3, 0.2, -2.0])))
     assert np.asarray(out["image"]).shape == (16, 16, 3)
+
+
+def test_renderer_keeps_pallas_via_hbm_fine_table(monkeypatch):
+    """When only the packed fine table busts the VMEM budget (march
+    tables still fit), the renderer selects the HBM-resident fine-table
+    Pallas path instead of the ~34x-slower XLA fallback."""
+    from voxtracer.engine import pipeline as pl_mod
+
+    rng = np.random.default_rng(5)
+    n = 256
+    pos = rng.integers(-32, 32, (n, 3)).astype(np.int16)
+    mrgb = np.concatenate(
+        [np.zeros((n, 1), np.uint8),
+         rng.integers(30, 255, (n, 3)).astype(np.uint8)],
+        axis=1,
+    )
+    from voxtracer.scene import GridScene, VoxelList
+
+    scene = GridScene.from_voxels(VoxelList(pos=pos, mrgb=mrgb))
+    t = scene.device_tables()
+    table_bytes = t["packed_idx"].size * 4
+    node_bytes = (t["meta_idx"].size + t["brick_idx"].size) * 4
+    assert 2 * node_bytes < table_bytes, "scene too small for this test"
+    monkeypatch.setattr(
+        pl_mod, "PALLAS_TABLE_BUDGET_BYTES", 2 * node_bytes
+    )
+    r = Renderer(scene=scene, height=16, width=16, trace_impl="pallas")
+    assert r.trace_impl == "pallas_hbm"
+    # swapping to a within-budget scene restores the VMEM-resident path
+    r.set_scene(_tiny_scene())
+    assert r.trace_impl == "pallas"
 
 
 def test_param_changes_do_not_retrace():

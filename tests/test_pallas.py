@@ -15,7 +15,7 @@ from voxtracer.oracle import renderer as oracle
 from voxtracer.scene import GridScene, VoxelList
 
 
-def _compare(scene, cam, w=128, h=64, seed=7):
+def _compare(scene, cam, w=128, h=64, seed=7, **trace_kw):
     params = RenderParams()
     right, up, forward = cam.axis_scaled(w, h)
     buf = noise_op.white_noise_buffer(seed=seed, count=32)
@@ -54,6 +54,7 @@ def _compare(scene, cam, w=128, h=64, seed=7):
         height=h,
         width=w,
         interpret=True,
+        **trace_kw,
     )
     x = {k: np.asarray(v) for k, v in x.items()}
 
@@ -87,6 +88,31 @@ def test_pallas_interpret_matches_oracle():
     scene = GridScene.from_voxels(vl)
     cam = Camera(position=np.array([0.3, 0.2, -1.5]))
     _compare(scene, cam)
+
+
+def test_pallas_hbm_fine_table_matches_oracle():
+    """fine_in_hbm=True keeps the packed fine table out of VMEM and
+    DMAs serve windows on demand (the no-cliff path for scenes beyond
+    the VMEM budget, engine/pipeline.py); results must be identical.
+    The multi-color single-node scene forces non-uniform hit resolves
+    so the HBM serve loop actually runs."""
+    vl = VoxelList(
+        pos=np.array(
+            [[0, 0, 0], [2, 1, 0], [1, 0, 3], [-2, 1, 1]], dtype=np.int16
+        ),
+        mrgb=np.array(
+            [
+                [0, 200, 100, 50],
+                [0x40, 255, 10, 10],
+                [0, 10, 255, 10],
+                [0, 90, 90, 240],
+            ],
+            dtype=np.uint8,
+        ),
+    )
+    scene = GridScene.from_voxels(vl)
+    cam = Camera(position=np.array([0.3, 0.2, -1.5]))
+    _compare(scene, cam, fine_in_hbm=True)
 
 
 def test_pallas_sparse_scene_distance_field_jumps():

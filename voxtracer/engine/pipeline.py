@@ -85,6 +85,8 @@ def render_frame_impl(
     if trace_impl.startswith("pallas"):
         # "pallas_interpret" runs the same kernel through the Pallas
         # interpreter — how CPU tests exercise the TPU kernel family.
+        # "pallas_hbm" keeps the packed fine table HBM-resident (scenes
+        # beyond the VMEM budget) and DMAs serve windows on demand.
         interpret = trace_impl == "pallas_interpret"
         params_vec = trace_pallas.pack_params_traced(cam, render_params)
         trace_kw = dict(
@@ -97,6 +99,7 @@ def render_frame_impl(
             b_rows=b_rows,
             width=width,
             interpret=interpret,
+            fine_in_hbm=trace_impl == "pallas_hbm",
         )
         if shard_mesh is None:
             gbuf = trace_pallas.render_sample(
@@ -189,7 +192,8 @@ def render_frame_impl(
         # mesh the XLA gather path lets the SPMD partitioner insert the
         # cross-slab halo exchanges.
         resample_impl=(
-            "pallas" if trace_impl == "pallas" and shard_mesh is None
+            "pallas"
+            if trace_impl in ("pallas", "pallas_hbm") and shard_mesh is None
             else "xla"
         ),
     )
@@ -200,7 +204,7 @@ def render_frame_impl(
     # XLA stencil shards through annotations (partitioned halos).
     denoise_fn = (
         denoise_pallas_op.denoise
-        if trace_impl == "pallas" and shard_mesh is None
+        if trace_impl in ("pallas", "pallas_hbm") and shard_mesh is None
         else denoise_op.denoise
     )
     out = denoise_fn(
@@ -296,20 +300,42 @@ class Renderer:
             scene, trace_impl=self.trace_impl
         )
         table_bytes = self._scene_arrays["packed_idx"].size * 4
+        node_bytes = (
+            self._scene_arrays["meta_idx"].size
+            + self._scene_arrays["brick_idx"].size
+        ) * 4
+        if self.trace_impl == "pallas_hbm" and table_bytes <= (
+            PALLAS_TABLE_BUDGET_BYTES
+        ):
+            # a previously-oversized session swapped to a small scene
+            self.trace_impl = "pallas"
         if self.trace_impl == "pallas" and table_bytes > PALLAS_TABLE_BUDGET_BYTES:
-            log.warning(
-                "scene index table (%.0f MB) exceeds the VMEM budget "
-                "(%.0f MB); falling back to the XLA trace kernel",
-                table_bytes / 2**20,
-                PALLAS_TABLE_BUDGET_BYTES / 2**20,
-            )
-            self.trace_impl = "xla"
-            self._scene_arrays["flat_grid"] = jnp.asarray(
-                scene.values.reshape(-1)
-            )
-            self._scene_arrays["grid_origin"] = jnp.asarray(
-                scene.origin.astype(np.int32)
-            )
+            if node_bytes <= PALLAS_TABLE_BUDGET_BYTES // 2:
+                # The march tables still fit VMEM; only the fine
+                # hit-resolve table moves to HBM with DMA'd serve
+                # windows — the Pallas path survives big scenes.
+                log.info(
+                    "scene index table (%.0f MB) exceeds the VMEM "
+                    "budget (%.0f MB); keeping it HBM-resident "
+                    "(DMA-windowed hit resolve)",
+                    table_bytes / 2**20,
+                    PALLAS_TABLE_BUDGET_BYTES / 2**20,
+                )
+                self.trace_impl = "pallas_hbm"
+            else:
+                log.warning(
+                    "scene node tables (%.0f MB) exceed the VMEM budget "
+                    "(%.0f MB); falling back to the XLA trace kernel",
+                    node_bytes / 2**20,
+                    PALLAS_TABLE_BUDGET_BYTES / 2**20,
+                )
+                self.trace_impl = "xla"
+                self._scene_arrays["flat_grid"] = jnp.asarray(
+                    scene.values.reshape(-1)
+                )
+                self._scene_arrays["grid_origin"] = jnp.asarray(
+                    scene.origin.astype(np.int32)
+                )
 
     def set_scene(self, scene: GridScene):
         """Swap scenes and restart accumulation (src/context.rs:1406-1424)."""

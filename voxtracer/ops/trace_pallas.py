@@ -217,6 +217,55 @@ def _serve_loop(ref, n_rows_, waddr, need0, word, cached, win=WIN_ROWS):
     return word, cached, kf
 
 
+def _serve_loop_hbm(
+    ref, scratch, sem, n_rows_, waddr, need0, word, cached, win
+):
+    """Like :func:`_serve_loop` but ``ref`` lives in HBM: each round
+    DMAs the window into the VMEM ``scratch`` before gathering.  Used
+    for the fine-table hit resolve on scenes whose packed table
+    exceeds the VMEM budget — the resolve runs once per traversal, so
+    the DMA latency is paid per hit batch, not per march step."""
+    win = min(win, n_rows_)
+    rows = waddr >> 7
+    need_i = need0.astype(jnp.int32)
+
+    def serve_round(word_, cached_):
+        needf = (need_i == 1) & (waddr != cached_)
+        r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
+        r_base = jnp.clip(r_min, 0, n_rows_ - win)
+        dma = pltpu.make_async_copy(
+            ref.at[pl.ds(r_base, win), :], scratch, sem
+        )
+        dma.start()
+        dma.wait()
+        off = rows - r_base
+        in_win = needf & (off >= 0) & (off < win)
+        for s8 in range(win):
+            row_b = jnp.broadcast_to(
+                scratch[s8 : s8 + 1, :], waddr.shape
+            )
+            g = jnp.take_along_axis(row_b, waddr & 127, axis=1)
+            serve = in_win & (off == s8)
+            word_ = jnp.where(serve, g, word_)
+            cached_ = jnp.where(serve, waddr, cached_)
+        return word_, cached_
+
+    def serve_cond(ss):
+        k, word_, cached_ = ss
+        unserved = (need_i == 1) & (waddr != cached_)
+        return jnp.logical_and(k < 256, unserved.any())
+
+    def serve_body(ss):
+        k, word_, cached_ = ss
+        word_, cached_ = serve_round(word_, cached_)
+        return k + 1, word_, cached_
+
+    kf, word, cached = jax.lax.while_loop(
+        serve_cond, serve_body, (np.int32(0), word, cached)
+    )
+    return word, cached, kf
+
+
 def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
     """Window-serve per-lane word PAIRS (waddr even; waddr+1 shares the
     128-word row by construction).  Returns (lo, hi, cached, rounds)."""
@@ -261,7 +310,9 @@ def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
     return lo, hi, cached, kf
 
 
-def _make_traverse(dims, zw, origin, n_rows, l3_dims, m_rows, b_rows):
+def _make_traverse(
+    dims, zw, origin, n_rows, l3_dims, m_rows, b_rows, fine_in_hbm=False
+):
     """Build the in-kernel node-DDA traversal closure.
 
     One logical node per 4x4x4 fine-cell block — the TPU shape of an
@@ -292,7 +343,9 @@ def _make_traverse(dims, zw, origin, n_rows, l3_dims, m_rows, b_rows):
         (ozi + Z) * CELL_SIZE,
     )
 
-    def traverse(table_ref, meta_ref, brick_ref, o3, d3, mask=None):
+    def traverse(
+        table_ref, meta_ref, brick_ref, o3, d3, mask=None, fine_dma=None
+    ):
         """Returns (hit i32, t, slot i32, fused, normal tuple, counters).
 
         ``mask`` (bool) gates which lanes traverse at all — dead paths
@@ -566,10 +619,20 @@ def _make_traverse(dims, zw, origin, n_rows, l3_dims, m_rows, b_rows):
             hcy & 3
         )
         fwaddr = jnp.where(need_slot, fcol * zw + fzw, 0)
-        fword, _, kf2 = _serve_loop(
-            table_ref, n_rows, fwaddr, need_slot, zero_i, zero_i - 1,
-            win=FINE_WIN,
-        )
+        if fine_in_hbm:
+            # fine table lives in HBM (too big for VMEM): each serve
+            # round DMAs its window into VMEM scratch first.  Paid once
+            # per traversal at the hit, not per march step.
+            scratch, sem = fine_dma
+            fword, _, kf2 = _serve_loop_hbm(
+                table_ref, scratch, sem, n_rows, fwaddr, need_slot,
+                zero_i, zero_i - 1, win=FINE_WIN,
+            )
+        else:
+            fword, _, kf2 = _serve_loop(
+                table_ref, n_rows, fwaddr, need_slot, zero_i, zero_i - 1,
+                win=FINE_WIN,
+            )
         hslot = jnp.where(
             need_slot, (fword >> ((hcz - fzw * 3) * 10)) & 1023, hslot_u
         )
@@ -603,10 +666,11 @@ def _make_traverse(dims, zw, origin, n_rows, l3_dims, m_rows, b_rows):
 
 def _make_kernel(
     dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
-    max_bounces=MAX_BOUNCES,
+    max_bounces=MAX_BOUNCES, fine_in_hbm=False,
 ):
     traverse = _make_traverse(
-        dims, zw, origin, n_rows, l3_dims, m_rows, b_rows
+        dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
+        fine_in_hbm=fine_in_hbm,
     )
 
     def kernel(
@@ -628,7 +692,9 @@ def _make_kernel(
         albedo_g_ref,
         albedo_b_ref,
         debug_ref,
+        *fine_dma_refs,  # (scratch, sem) iff fine_in_hbm
     ):
+        fine_dma = tuple(fine_dma_refs) if fine_in_hbm else None
         ti = pl.program_id(0)
         tj = pl.program_id(1)
 
@@ -703,7 +769,7 @@ def _make_kernel(
             hit_i, t, slot, fused, (nx, ny, nz), t_iters = traverse(
                 table_ref, meta_ref, brick_ref,
                 (rox, roy, roz), (rdx, rdy, rdz),
-                mask=(alive == 1),
+                mask=(alive == 1), fine_dma=fine_dma,
             )
             iter_counts.append(t_iters)  # (n_iters, n_serves)
             hit = (hit_i == 1) & (alive == 1)
@@ -771,6 +837,7 @@ def _make_kernel(
                 (sox, soy, soz), (shx, shy, shz),
                 mask=hit & (~specular) & (sun_strength > 0.0)
                 & (cos_term > 0.0),
+                fine_dma=fine_dma,
             )
             iter_counts.append(s_iters)
             sun_on = sun_strength > 0.0
@@ -888,6 +955,7 @@ def _pad_to(x, m):
     static_argnames=(
         "dims", "zw", "origin", "n_rows", "l3_dims", "m_rows",
         "b_rows", "height", "width", "interpret", "max_bounces",
+        "fine_in_hbm",
     ),
 )
 def render_sample(
@@ -909,6 +977,7 @@ def render_sample(
     width: int,
     interpret: bool = False,
     max_bounces: int = MAX_BOUNCES,
+    fine_in_hbm: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Trace one sample with the Pallas kernel; same output dict as
     :func:`voxtracer.ops.trace_xla.render_sample` (H, W shapes)."""
@@ -934,7 +1003,7 @@ def render_sample(
     grid = (nby, nbx)
     kernel = _make_kernel(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
-        max_bounces=max_bounces,
+        max_bounces=max_bounces, fine_in_hbm=fine_in_hbm,
     )
 
     plane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.float32)
@@ -946,6 +1015,19 @@ def render_sample(
         shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
 
+    fine_spec = (
+        pl.BlockSpec(memory_space=pl.ANY)
+        if fine_in_hbm
+        else full((n_rows, 128))
+    )
+    scratch_shapes = (
+        [
+            pltpu.VMEM((min(FINE_WIN, n_rows), 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ]
+        if fine_in_hbm
+        else []
+    )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -963,7 +1045,7 @@ def render_sample(
                 lambda i, j: (0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            full((n_rows, 128)),
+            fine_spec,
             full((m_rows, 128)),
             full((b_rows, 128)),
             full((8, 128)),
@@ -974,6 +1056,7 @@ def render_sample(
             ),
         ],
         out_specs=tuple([tile_spec] * 12),
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

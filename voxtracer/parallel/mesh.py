@@ -154,7 +154,7 @@ def scene_device_args(scene, trace_impl: str = "all"):
         "brick_idx": jnp.asarray(tables["brick_idx"]),
         "palette": jnp.asarray(tables["palette"]),
     }
-    if trace_impl != "pallas":
+    if trace_impl not in ("pallas", "pallas_hbm"):
         arrays["flat_grid"] = jnp.asarray(scene.values.reshape(-1))
         arrays["grid_origin"] = jnp.asarray(scene.origin.astype(np.int32))
     return meta, arrays
