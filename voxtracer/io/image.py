@@ -24,8 +24,8 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(path: str | os.PathLike, image: np.ndarray) -> None:
-    """Write (H, W), (H, W, 3) or (H, W, 4) uint8 to a PNG file."""
+def encode_png(image: np.ndarray) -> bytes:
+    """Encode (H, W), (H, W, 3) or (H, W, 4) uint8 as PNG bytes."""
     img = np.asarray(image)
     if img.dtype != np.uint8:
         raise TypeError(f"expected uint8 image, got {img.dtype}")
@@ -39,11 +39,15 @@ def write_png(path: str | os.PathLike, image: np.ndarray) -> None:
         b"\x00" + img[row].tobytes() for row in range(h)
     )
     header = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPES[c], 0, 0, 0)
-    data = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", header)
         + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def write_png(path: str | os.PathLike, image: np.ndarray) -> None:
+    """Write (H, W), (H, W, 3) or (H, W, 4) uint8 to a PNG file."""
     with open(path, "wb") as fh:
-        fh.write(data)
+        fh.write(encode_png(image))
