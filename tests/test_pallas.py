@@ -50,7 +50,7 @@ def _compare(scene, cam, w=128, h=64, seed=7, **trace_kw):
         n_rows=t["packed_idx"].shape[0],
         l3_dims=t["l3_dims"],
         m_rows=t["meta_idx"].shape[0],
-        b_rows=t["brick_idx"].shape[0],
+        b_rows=t["brick_idx"].shape[1],
         height=h,
         width=w,
         interpret=True,

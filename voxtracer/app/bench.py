@@ -98,7 +98,7 @@ def config1_oracle_match(quick=False):
         n_rows=t["packed_idx"].shape[0],
         l3_dims=t["l3_dims"],
         m_rows=t["meta_idx"].shape[0],
-        b_rows=t["brick_idx"].shape[0],
+        b_rows=t["brick_idx"].shape[1],
         height=size,
         width=size,
     )
@@ -242,12 +242,89 @@ def config5_castle_4k(quick=False):
     )
 
 
+def config6_asset_sweep(quick=False):
+    """Every shipped .vox asset through the full Pallas pipeline: one
+    JSON line per asset with fps, iteration-fuse pixel count and node
+    agreement vs the oracle on a small crop (VERDICT #9's regression
+    net for kernel surgery across the whole asset set)."""
+    import glob
+    import os
+
+    from ..engine.params import RenderParams
+    from ..ops import noise as noise_op
+    from ..ops import trace_pallas
+    from ..oracle import renderer as oracle
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    vox_dir = os.path.join(here, "..", "..", "assets", "vox")
+    names = sorted(
+        os.path.splitext(os.path.basename(p))[0]
+        for p in glob.glob(os.path.join(vox_dir, "*.vox"))
+    )
+    h, w = (180, 320) if quick else (360, 640)
+    ch, cw = 72, 128  # oracle-agreement crop
+    frames = 2 if quick else 5
+    for name in names:
+        scene = load_scene(name)
+        path = camera_paths.orbit(scene)
+        cam = path(0.15)
+        r = Renderer(scene=scene, height=h, width=w)
+        dt, out = _time_frames(r, [cam] * (frames + 2))
+        node = np.asarray(out["node"])
+        fuse_px = int((node == trace_pallas.LEAF_BIT).sum())
+
+        # node agreement vs the oracle at a small crop (shared noise)
+        params = RenderParams()
+        right, up, forward = cam.axis_scaled(cw, ch)
+        buf = noise_op.white_noise_buffer(seed=3)
+        planes = noise_op.noise_planes(buf, 1, ch, cw)
+        o = oracle.render_sample(
+            scene.values, scene.origin.astype(np.int64),
+            np.asarray(cam.position), right, up, forward,
+            params, planes, cw, ch,
+        )
+        import jax.numpy as jnp
+
+        t = scene.device_tables()
+        cam_arr = np.stack(
+            [cam.position, right, up, forward]
+        ).astype(np.float32)
+        x = trace_pallas.render_sample(
+            jnp.asarray(t["packed_idx"]),
+            jnp.asarray(t["meta_idx"]),
+            jnp.asarray(t["brick_idx"]),
+            jnp.asarray(t["palette"]),
+            jnp.asarray(trace_pallas.pack_params(cam_arr, params)),
+            jnp.asarray(planes),
+            dims=scene.values.shape,
+            zw=t["zw"],
+            origin=tuple(int(v) for v in scene.origin),
+            n_rows=t["packed_idx"].shape[0],
+            l3_dims=t["l3_dims"],
+            m_rows=t["meta_idx"].shape[0],
+            b_rows=t["brick_idx"].shape[1],
+            height=ch,
+            width=cw,
+        )
+        agree = float((o["node"] == np.asarray(x["node"])).mean())
+        _emit(
+            config=6,
+            name=f"asset sweep: {name}",
+            resolution=f"{w}x{h}",
+            ms_per_frame=round(dt * 1e3, 1),
+            fps=round(1 / dt, 2),
+            fuse_pixels=fuse_px,
+            node_agreement=round(agree, 5),
+        )
+
+
 CONFIGS = {
     1: config1_oracle_match,
     2: config2_menger,
     3: config3_knight_temporal,
     4: config4_monu9_full,
     5: config5_castle_4k,
+    6: config6_asset_sweep,
 }
 
 

@@ -62,7 +62,7 @@ WIN_ROWS = 16  # rows per serve window (8 and 32 measured slower)
 import os as _os
 
 META_WIN = int(_os.environ.get("VOX_META_WIN", 16))
-BRICK_WIN = int(_os.environ.get("VOX_BRICK_WIN", 32))
+BRICK_WIN = int(_os.environ.get("VOX_BRICK_WIN", 16))  # 8/32/64 slower
 # Unrolled in-register fine-DDA steps per brick visit.  10 covers any
 # chord through a 4x4x4 brick (4+4+4-2); fewer steps are still correct
 # (the outer loop re-enters with the brick cached) but re-pay the
@@ -267,8 +267,12 @@ def _serve_loop_hbm(
 
 
 def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
-    """Window-serve per-lane word PAIRS (waddr even; waddr+1 shares the
-    128-word row by construction).  Returns (lo, hi, cached, rounds)."""
+    """Window-serve per-lane word PAIRS from the split brick tables:
+    ``ref`` is (2, rows, 128), both halves indexed by the same node
+    linear address.  One window sweep serves lo and hi together, and a
+    brick spans one column instead of two, so pending row spans halve
+    vs the old adjacent-word-pair layout.  Returns
+    (lo, hi, cached, rounds)."""
     win = min(win, n_rows_)
     rows = waddr >> 7
     need_i = need0.astype(jnp.int32)
@@ -277,18 +281,20 @@ def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
         needf = (need_i == 1) & (waddr != cached_)
         r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
         r_base = jnp.clip(r_min, 0, n_rows_ - win)
-        window = ref[pl.ds(r_base, win), :]
+        win_lo = ref[0, pl.ds(r_base, win), :]
+        win_hi = ref[1, pl.ds(r_base, win), :]
         off = rows - r_base
         in_win = needf & (off >= 0) & (off < win)
         col = waddr & 127
         for s8 in range(win):
-            row_b = jnp.broadcast_to(window[s8 : s8 + 1, :], waddr.shape)
+            lo_b = jnp.broadcast_to(win_lo[s8 : s8 + 1, :], waddr.shape)
+            hi_b = jnp.broadcast_to(win_hi[s8 : s8 + 1, :], waddr.shape)
             serve = in_win & (off == s8)
             lo_ = jnp.where(
-                serve, jnp.take_along_axis(row_b, col, axis=1), lo_
+                serve, jnp.take_along_axis(lo_b, col, axis=1), lo_
             )
             hi_ = jnp.where(
-                serve, jnp.take_along_axis(row_b, col | 1, axis=1), hi_
+                serve, jnp.take_along_axis(hi_b, col, axis=1), hi_
             )
             cached_ = jnp.where(serve, waddr, cached_)
         return lo_, hi_, cached_
@@ -395,14 +401,17 @@ def _make_traverse(
         zero_f = jnp.zeros_like(t0)
 
         def cond(s):
-            it, active = s[0], s[3]
+            it, active = s[0], s[4]
             return jnp.logical_and(it < MAX_OUTER_ITERS, jnp.max(active) > 0)
 
         def one_step(
-            nserv, nact, active, cx, cy, cz, t,
+            nserv, nact, nlive, active, cx, cy, cz, t,
             m_cached, m_word, b_cached, b_lo, b_hi, hslot_u,
             hit, hit_t, hcx, hcy, hcz,
         ):
+            # live-lane integral: Σ_steps (active lanes) — utilization
+            # diagnostics for compaction headroom (read via debug_iters)
+            nlive = nlive + jnp.sum(active)
             # 1. bounds check (oracle order: before the value test)
             inb = (
                 (cx >= 0)
@@ -435,7 +444,7 @@ def _make_traverse(
             # 3. lanes in an occupied node fetch its brick (64-bit
             # fine mask, adjacent word pair)
             b_need = act & occ3
-            b_addr = jnp.where(b_need, (l3_col * QZ + qz) * 2, 0)
+            b_addr = jnp.where(b_need, l3_col * QZ + qz, 0)
             b_lo, b_hi, b_cached, kf2 = _serve_loop_pair(
                 brick_ref, b_rows, b_addr, b_need, b_lo, b_hi, b_cached,
                 win=BRICK_WIN,
@@ -532,6 +541,7 @@ def _make_traverse(
             return (
                 nserv,
                 nact,
+                nlive,
                 active,
                 cx,
                 cy,
@@ -560,6 +570,7 @@ def _make_traverse(
             np.int32(0),
             np.int32(0),  # meta serve-round counter (instrumentation)
             np.int32(0),  # brick serve-round counter (instrumentation)
+            np.int32(0),  # live-lane integral (instrumentation)
             active0,
             cx,
             cy,
@@ -582,6 +593,7 @@ def _make_traverse(
             n_iters,
             n_serves,
             n_act,
+            n_live,
             active,
             cx,
             cy,
@@ -658,7 +670,7 @@ def _make_traverse(
 
         return (
             hit, hit_t, hslot, fused, (nx, ny, nz),
-            (n_iters, n_serves, n_act, n_fine),
+            (n_iters, n_serves, n_act, n_fine, n_live),
         )
 
     return traverse
@@ -677,7 +689,7 @@ def _make_kernel(
         params_ref,  # (1, PARAMS_LEN) f32 SMEM
         table_ref,  # (n_rows, 128) int32 VMEM
         meta_ref,  # (m_rows, 128) int32 VMEM
-        brick_ref,  # (b_rows, 128) int32 VMEM
+        brick_ref,  # (2, b_rows, 128) int32 VMEM (lo/hi mask words)
         palette_ref,  # (8, 128) int32 VMEM
         noise_ref,  # (24, TILE_H, TILE_W) f32 VMEM
         color_r_ref,
@@ -961,7 +973,7 @@ def _pad_to(x, m):
 def render_sample(
     packed_idx: jnp.ndarray,  # (n_rows, 128) int32
     meta_idx: jnp.ndarray,  # (m_rows, 128) int32
-    brick_idx: jnp.ndarray,  # (b_rows, 128) int32
+    brick_idx: jnp.ndarray,  # (2, b_rows, 128) int32
     palette: jnp.ndarray,  # (8, 128) int32
     params_vec: jnp.ndarray,  # (1, PARAMS_LEN) f32
     noise_planes: jnp.ndarray,  # (24, H, W) f32
@@ -1047,7 +1059,7 @@ def render_sample(
             ),
             fine_spec,
             full((m_rows, 128)),
-            full((b_rows, 128)),
+            full((2, b_rows, 128)),
             full((8, 128)),
             pl.BlockSpec(
                 (24, TILE_H, TILE_W),
@@ -1083,9 +1095,9 @@ def render_sample(
         "albedo": jnp.stack([crop(ar), crop(ag), crop(ab)], axis=-1),
         "node": crop(node),
         # per-tile counters at lane (0, 6*c + k), phase k in 0..5,
-        # counter c: 0 outer iters, 1 L3 serve rounds, 2 supercell
-        # serve rounds, 3 fine-resolve serve rounds
+        # counter c: 0 outer iters, 1 meta serve rounds, 2 brick serve
+        # rounds, 3 fine-resolve serve rounds, 4 live-lane integral
         "debug_iters": dbg[::TILE_H, :].reshape(nby, nbx, TILE_W)[
-            ..., :24
-        ].reshape(nby * nbx, 24),
+            ..., :30
+        ].reshape(nby * nbx, 30),
     }

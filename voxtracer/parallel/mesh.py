@@ -146,7 +146,7 @@ def scene_device_args(scene, trace_impl: str = "all"):
         int(tables["packed_idx"].shape[0]),
         tuple(int(d) for d in tables["l3_dims"]),
         int(tables["meta_idx"].shape[0]),
-        int(tables["brick_idx"].shape[0]),
+        int(tables["brick_idx"].shape[1]),
     )
     arrays = {
         "packed_idx": jnp.asarray(tables["packed_idx"]),

@@ -199,8 +199,9 @@ class GridScene:
         #     bit 15 clear = capped chebyshev distance in L3 units
         #     (the octree's multi-level pop, voxels.comp:191-221).
         #   brick_idx — the block's full 64-bit fine-occupancy mask as
-        #     an adjacent word pair, fetched only on entering an
-        #     occupied block, then marched entirely in registers.
+        #     two parallel (rows, 128) tables (lo/hi words, one shared
+        #     address), fetched only on entering an occupied block,
+        #     then marched entirely in registers.
         occ = self.values != 0
         sup_occ = _block_occ(occ)
         hx, hy, hz = sup_occ.shape
@@ -270,8 +271,10 @@ def _pack_nodes(
 
     meta: one 16-bit value per L3 cell, two per word at address
     ``colq * ceil(QZ/2) + qz//2`` (halfword ``qz & 1``).  brick: the
-    64-bit fine mask as adjacent words at ``(colq * QZ + qz) * 2``
-    (bit ``(x&3)*16 + (y&3)*4 + (z&3)``; first word holds bits 0-31).
+    64-bit fine mask split over two (rows, 128) tables — stacked as
+    ``(2, rows, 128)`` — both indexed by the node linear address
+    ``colq * QZ + qz`` (bit ``(x&3)*16 + (y&3)*4 + (z&3)``; table 0
+    holds bits 0-31).
     """
     qx_d, qy_d, qz_d = (int(d) for d in l3_dims)
     fx, fy, fz = qx_d * 4, qy_d * 4, qz_d * 4
@@ -293,8 +296,16 @@ def _pack_nodes(
     weights = np.int64(1) << np.arange(32, dtype=np.int64)
     lo = (bits[..., :32] * weights).sum(axis=-1)
     hi = (bits[..., 32:] * weights).sum(axis=-1)
-    brick_idx = _pillar_pack(
-        np.stack([lo, hi], axis=-1).astype(np.uint32), 2
+    # The mask's two 32-bit halves live in two parallel tables sharing
+    # one address (node linear index): a brick occupies one column per
+    # table instead of an adjacent word pair, so the serve loop's
+    # pending row spans — the dominant divergent-ray cost — halve.
+    brick_idx = np.stack(
+        [
+            _pillar_pack(lo[..., None].astype(np.uint32), 1),
+            _pillar_pack(hi[..., None].astype(np.uint32), 1),
+        ],
+        axis=0,
     )
 
     # uniform palette slot per block (0 when mixed / empty)
