@@ -1,0 +1,97 @@
+"""Unit tests for the row-serve loops — the Pallas kernel's core
+random-access primitive (trace_pallas module docstring).  Runs the
+serve loops in interpreter mode against a direct numpy gather."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from voxtracer.ops import trace_pallas as tp
+
+N_ROWS = 48
+
+
+def _run_serve(table, waddr, need, win):
+    def kernel(tab_ref, wa_ref, need_ref, out_ref, rounds_ref):
+        wa = wa_ref[:]
+        nd = need_ref[:] == 1
+        zero = wa * 0
+        word, cached, kf = tp._serve_loop(
+            tab_ref, N_ROWS, wa, nd, zero, zero - 1, win=win
+        )
+        out_ref[:] = word
+        rounds_ref[:] = zero + kf
+
+    out, rounds = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((32, 128), jnp.int32),
+            jax.ShapeDtypeStruct((32, 128), jnp.int32),
+        ),
+        interpret=True,
+    )(
+        jnp.asarray(table),
+        jnp.asarray(waddr),
+        jnp.asarray(need.astype(np.int32)),
+    )
+    return np.asarray(out), int(np.asarray(rounds)[0, 0])
+
+
+def test_serve_loop_scattered_addresses_exact():
+    rng = np.random.default_rng(0)
+    table = rng.integers(0, 1 << 30, (N_ROWS, 128)).astype(np.int32)
+    waddr = rng.integers(0, N_ROWS * 128, (32, 128)).astype(np.int32)
+    need = rng.random((32, 128)) < 0.7
+    out, rounds = _run_serve(table, waddr, need, win=16)
+    ref = table.reshape(-1)[waddr]
+    assert (out[need] == ref[need]).all()
+    assert rounds <= -(-N_ROWS // 16) + 1
+
+def test_serve_loop_coherent_addresses_one_round():
+    """Coherent lanes (one shared row) must be served in one round —
+    the property the whole serve-loop design banks on."""
+    rng = np.random.default_rng(1)
+    table = rng.integers(0, 1 << 30, (N_ROWS, 128)).astype(np.int32)
+    row = 37
+    waddr = (row * 128 + rng.integers(0, 128, (32, 128))).astype(np.int32)
+    need = np.ones((32, 128), bool)
+    out, rounds = _run_serve(table, waddr, need, win=16)
+    ref = table.reshape(-1)[waddr]
+    assert (out == ref).all()
+    assert rounds == 1
+
+
+def test_serve_loop_pair_split_tables_exact():
+    rng = np.random.default_rng(2)
+    table2 = rng.integers(0, 1 << 30, (2, N_ROWS, 128)).astype(np.int32)
+    waddr = rng.integers(0, N_ROWS * 128, (32, 128)).astype(np.int32)
+    need = rng.random((32, 128)) < 0.5
+
+    def kernel(tab_ref, wa_ref, need_ref, lo_ref, hi_ref):
+        wa = wa_ref[:]
+        nd = need_ref[:] == 1
+        zero = wa * 0
+        lo, hi, cached, kf = tp._serve_loop_pair(
+            tab_ref, N_ROWS, wa, nd, zero, zero, zero - 1, win=16
+        )
+        lo_ref[:] = lo
+        hi_ref[:] = hi
+
+    lo, hi = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((32, 128), jnp.int32),
+            jax.ShapeDtypeStruct((32, 128), jnp.int32),
+        ),
+        interpret=True,
+    )(
+        jnp.asarray(table2),
+        jnp.asarray(waddr),
+        jnp.asarray(need.astype(np.int32)),
+    )
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    ref_lo = table2[0].reshape(-1)[waddr]
+    ref_hi = table2[1].reshape(-1)[waddr]
+    assert (lo[need] == ref_lo[need]).all()
+    assert (hi[need] == ref_hi[need]).all()

@@ -44,7 +44,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.grid import CELL_SIZE, RESERVED_SLOTS
 
-TILE_H = 32
+import os as _os
+
+# Lanes per grid program: (TILE_H, 128) register planes.  Sweepable,
+# but (8,128) tiles measured 1.4x SLOWER than (32,128): the scalar
+# sync each while-iteration pays dominates, and 4x the programs means
+# ~4x the while iterations.
+TILE_H = int(_os.environ.get("VOX_TILE_H", 32))
 TILE_W = 128
 MAX_BOUNCES = 3
 RANDS_PER_BOUNCE = 8
@@ -59,8 +65,6 @@ WIN_ROWS = 16  # rows per serve window (8 and 32 measured slower)
 # Per-table serve window sizes (sweepable via env for perf probes):
 # pending rows are dense on the fine table but sparse on the small
 # L3/supercell tables, where narrow windows waste fewer gathers.
-import os as _os
-
 META_WIN = int(_os.environ.get("VOX_META_WIN", 16))
 BRICK_WIN = int(_os.environ.get("VOX_BRICK_WIN", 16))  # 8/32/64 slower
 # Unrolled in-register fine-DDA steps per brick visit.  10 covers any
@@ -75,7 +79,7 @@ UNROLL = 1  # DDA steps per outer while round (2 measured no better)
 # strip: ~2.5x fewer serve iterations on menger).  The image<->lane
 # remaps outside the kernel cost ~9 ms at 720p — far below the serve
 # iterations they save.  BLOCK*BLOCK == TILE_H*TILE_W.
-BLOCK = 64
+BLOCK = {2: 16, 8: 32, 32: 64, 128: 128}[TILE_H]
 
 # float32 params vector layout (SMEM row):
 #   0-2 cam origin | 3-5 right | 6-8 up | 9-11 forward(pixel-scaled)
@@ -192,13 +196,16 @@ def _serve_loop(ref, n_rows_, waddr, need0, word, cached, win=WIN_ROWS):
         r_base = jnp.clip(r_min, 0, n_rows_ - win)
         window = ref[pl.ds(r_base, win), :]
         off = rows - r_base
-        in_win = needf & (off >= 0) & (off < win)
+        # ``off == s8`` alone suffices as the serve mask: a non-pending
+        # lane whose off lands in-window just re-gathers the word its
+        # own address maps to (same row ⇒ same value — a no-op write),
+        # so the needf/in_win factors are hoisted out of the row loop.
         for s8 in range(win):
             row_b = jnp.broadcast_to(window[s8 : s8 + 1, :], waddr.shape)
             g = jnp.take_along_axis(row_b, waddr & 127, axis=1)
-            serve = in_win & (off == s8)
-            word_ = jnp.where(serve, g, word_)
-            cached_ = jnp.where(serve, waddr, cached_)
+            word_ = jnp.where(off == s8, g, word_)
+        in_win = (off >= 0) & (off < win)
+        cached_ = jnp.where(in_win, waddr, cached_)
         return word_, cached_
 
     def serve_cond(ss):
@@ -239,15 +246,15 @@ def _serve_loop_hbm(
         dma.start()
         dma.wait()
         off = rows - r_base
-        in_win = needf & (off >= 0) & (off < win)
+        # serve mask is just ``off == s8`` — see _serve_loop
         for s8 in range(win):
             row_b = jnp.broadcast_to(
                 scratch[s8 : s8 + 1, :], waddr.shape
             )
             g = jnp.take_along_axis(row_b, waddr & 127, axis=1)
-            serve = in_win & (off == s8)
-            word_ = jnp.where(serve, g, word_)
-            cached_ = jnp.where(serve, waddr, cached_)
+            word_ = jnp.where(off == s8, g, word_)
+        in_win = (off >= 0) & (off < win)
+        cached_ = jnp.where(in_win, waddr, cached_)
         return word_, cached_
 
     def serve_cond(ss):
@@ -284,19 +291,20 @@ def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
         win_lo = ref[0, pl.ds(r_base, win), :]
         win_hi = ref[1, pl.ds(r_base, win), :]
         off = rows - r_base
-        in_win = needf & (off >= 0) & (off < win)
         col = waddr & 127
+        # serve mask is just ``off == s8`` — see _serve_loop
         for s8 in range(win):
             lo_b = jnp.broadcast_to(win_lo[s8 : s8 + 1, :], waddr.shape)
             hi_b = jnp.broadcast_to(win_hi[s8 : s8 + 1, :], waddr.shape)
-            serve = in_win & (off == s8)
+            serve = off == s8
             lo_ = jnp.where(
                 serve, jnp.take_along_axis(lo_b, col, axis=1), lo_
             )
             hi_ = jnp.where(
                 serve, jnp.take_along_axis(hi_b, col, axis=1), hi_
             )
-            cached_ = jnp.where(serve, waddr, cached_)
+        in_win = (off >= 0) & (off < win)
+        cached_ = jnp.where(in_win, waddr, cached_)
         return lo_, hi_, cached_
 
     def serve_cond(ss):
