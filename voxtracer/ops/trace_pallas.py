@@ -73,7 +73,7 @@ BRICK_WIN = int(_os.environ.get("VOX_BRICK_WIN", 16))  # 8/32/64 slower
 # outer-iteration overhead.
 MICRO_STEPS = int(_os.environ.get("VOX_MICRO", 5))  # 3/10 measured slower
 FINE_WIN = int(_os.environ.get("VOX_FINE_WIN", WIN_ROWS))
-UNROLL = 1  # DDA steps per outer while round (2 measured no better)
+UNROLL = int(_os.environ.get("VOX_UNROLL", 1))  # DDA steps/while round
 # Lanes cover a square BLOCK x BLOCK pixel region per program (better
 # 3-D locality for the serve loop than a raw TILE_H x TILE_W image
 # strip: ~2.5x fewer serve iterations on menger).  The image<->lane
@@ -357,14 +357,18 @@ def _make_traverse(
         (ozi + Z) * CELL_SIZE,
     )
 
-    def traverse(
-        table_ref, meta_ref, brick_ref, o3, d3, mask=None, fine_dma=None
-    ):
-        """Returns (hit i32, t, slot i32, fused, normal tuple, counters).
+    def cell_from_float(o, d, t, og):
+        p = o + t * d
+        cf = p / CELL_SIZE - og
+        c = jnp.floor(cf)
+        return jnp.where((cf == c) & (d < 0), c - 1.0, c).astype(
+            jnp.int32
+        )
 
-        ``mask`` (bool) gates which lanes traverse at all — dead paths
-        and missed parents skip the march entirely.
-        """
+    def ray_setup(o3, d3, mask=None):
+        """Pre-march state for a ray batch: returns
+        (ray, cx, cy, cz, t0, active0) where ``ray`` is the 12-plane
+        tuple (o, d, 1/d, sign) the march consumes."""
         ox_, oy_, oz_ = o3
         dx, dy, dz = d3
         inf = jnp.float32(np.inf)
@@ -386,14 +390,6 @@ def _make_traverse(
 
         t0 = jnp.maximum(0.0, t_entry)
 
-        def cell_from_float(o, d, t, og):
-            p = o + t * d
-            cf = p / CELL_SIZE - og
-            c = jnp.floor(cf)
-            return jnp.where((cf == c) & (d < 0), c - 1.0, c).astype(
-                jnp.int32
-            )
-
         cx = jnp.clip(cell_from_float(ox_, dx, t0, float(oxi)), 0, X - 1)
         cy = jnp.clip(cell_from_float(oy_, dy, t0, float(oyi)), 0, Y - 1)
         cz = jnp.clip(cell_from_float(oz_, dz, t0, float(ozi)), 0, Z - 1)
@@ -405,18 +401,24 @@ def _make_traverse(
         if mask is not None:
             intersects = intersects & mask
         active0 = intersects.astype(jnp.int32)
-        zero_i = jnp.zeros_like(cx)
-        zero_f = jnp.zeros_like(t0)
+        ray = (ox_, oy_, oz_, dx, dy, dz, invx, invy, invz, sx, sy, sz)
+        return ray, cx, cy, cz, t0, active0
 
-        def cond(s):
-            it, active = s[0], s[4]
-            return jnp.logical_and(it < MAX_OUTER_ITERS, jnp.max(active) > 0)
+    def make_step(meta_ref, brick_ref):
+        """One DDA step over carried state; ``ray`` may be a closure
+        constant (single-ray loop) or loop-carried planes (ray queue)."""
+
+        inf = jnp.float32(np.inf)
 
         def one_step(
+            ray,
             nserv, nact, nlive, active, cx, cy, cz, t,
             m_cached, m_word, b_cached, b_lo, b_hi, hslot_u,
             hit, hit_t, hcx, hcy, hcz,
         ):
+            (
+                ox_, oy_, oz_, dx, dy, dz, invx, invy, invz, sx, sy, sz,
+            ) = ray
             # live-lane integral: Σ_steps (active lanes) — utilization
             # diagnostics for compaction headroom (read via debug_iters)
             nlive = nlive + jnp.sum(active)
@@ -568,10 +570,92 @@ def _make_traverse(
                 hcz,
             )
 
+        return one_step
+
+    def finish(table_ref, ray, fuse_mask, cur, recs, fine_dma):
+        """Post-march resolution for one ray's hit records: iteration
+        fuse -> opaque black leaf (voxels.comp:166-169), palette slot
+        at the hit, and the face normal (voxels.comp:181-187)."""
+        ox_, oy_, oz_, dx, dy, dz = ray[:6]
+        cx, cy, cz, t = cur
+        hslot_u, hit, hit_t, hcx, hcy, hcz = recs
+        zero_i = jnp.zeros_like(cx)
+        fused = fuse_mask
+        hit = jnp.where(fused, 1, hit)
+        hit_t = jnp.where(fused, t, hit_t)
+        hcx = jnp.where(fused, cx, hcx)
+        hcy = jnp.where(fused, cy, hcy)
+        hcz = jnp.where(fused, cz, hcz)
+        hitb = hit == 1
+
+        # resolve the palette slot at the hit cell: hits in uniform
+        # blocks carry it in the node record; only mixed blocks pay a
+        # fine-table serve (once per traversal; fused lanes render as
+        # opaque black and skip it)
+        need_slot = hitb & (~fused) & (hslot_u == 0)
+        fzw = _div3(hcz)
+        fcol = ((hcx >> 2) * PY4 + (hcy >> 2)) * 16 + ((hcx & 3) << 2) + (
+            hcy & 3
+        )
+        fwaddr = jnp.where(need_slot, fcol * zw + fzw, 0)
+        if fine_in_hbm:
+            # fine table lives in HBM (too big for VMEM): each serve
+            # round DMAs its window into VMEM scratch first.  Paid once
+            # per traversal at the hit, not per march step.
+            scratch, sem = fine_dma
+            fword, _, kf2 = _serve_loop_hbm(
+                table_ref, scratch, sem, n_rows, fwaddr, need_slot,
+                zero_i, zero_i - 1, win=FINE_WIN,
+            )
+        else:
+            fword, _, kf2 = _serve_loop(
+                table_ref, n_rows, fwaddr, need_slot, zero_i, zero_i - 1,
+                win=FINE_WIN,
+            )
+        hslot = jnp.where(
+            need_slot, (fword >> ((hcz - fzw * 3) * 10)) & 1023, hslot_u
+        )
+        hslot = jnp.where(hitb & (~fused), hslot, 0)
+        n_fine = kf2
+
+        # normal: dominant axis of (hit point - cell center), sign
+        # opposing the ray; exact ties set several components
+        px = ox_ + hit_t * dx
+        py = oy_ + hit_t * dy
+        pz = oz_ + hit_t * dz
+        ccx = (float(oxi) + hcx.astype(jnp.float32)) * CELL_SIZE + 0.5 * CELL_SIZE
+        ccy = (float(oyi) + hcy.astype(jnp.float32)) * CELL_SIZE + 0.5 * CELL_SIZE
+        ccz = (float(ozi) + hcz.astype(jnp.float32)) * CELL_SIZE + 0.5 * CELL_SIZE
+        ax = jnp.abs(px - ccx)
+        ay = jnp.abs(py - ccy)
+        az = jnp.abs(pz - ccz)
+        m = jnp.maximum(jnp.maximum(ax, ay), az)
+        nx = jnp.where((ax == m) & hitb, -jnp.sign(dx), 0.0)
+        ny = jnp.where((ay == m) & hitb, -jnp.sign(dy), 0.0)
+        nz = jnp.where((az == m) & hitb, -jnp.sign(dz), 0.0)
+        return hit, hit_t, hslot, fused, (nx, ny, nz), n_fine
+
+    def traverse(
+        table_ref, meta_ref, brick_ref, o3, d3, mask=None, fine_dma=None
+    ):
+        """Returns (hit i32, t, slot i32, fused, normal tuple, counters).
+
+        ``mask`` (bool) gates which lanes traverse at all — dead paths
+        and missed parents skip the march entirely.
+        """
+        ray, cx, cy, cz, t0, active0 = ray_setup(o3, d3, mask)
+        one_step = make_step(meta_ref, brick_ref)
+        zero_i = jnp.zeros_like(cx)
+        zero_f = jnp.zeros_like(t0)
+
+        def cond(s):
+            it, active = s[0], s[4]
+            return jnp.logical_and(it < MAX_OUTER_ITERS, jnp.max(active) > 0)
+
         def body(s):
             rest = s[1:]
             for _ in range(UNROLL):
-                rest = one_step(*rest)
+                rest = one_step(ray, *rest)
             return (s[0] + UNROLL,) + rest
 
         state = (
@@ -620,75 +704,136 @@ def _make_traverse(
             hcz,
         ) = out
 
-        # iteration fuse -> opaque black leaf (voxels.comp:166-169)
-        fused = active == 1
-        hit = jnp.where(fused, 1, hit)
-        hit_t = jnp.where(fused, t, hit_t)
-        hcx = jnp.where(fused, cx, hcx)
-        hcy = jnp.where(fused, cy, hcy)
-        hcz = jnp.where(fused, cz, hcz)
-        hitb = hit == 1
-
-        # resolve the palette slot at the hit cell: hits in uniform
-        # blocks carry it in the node record; only mixed blocks pay a
-        # fine-table serve (once per traversal; fused lanes render as
-        # opaque black and skip it)
-        need_slot = hitb & (~fused) & (hslot_u == 0)
-        fzw = _div3(hcz)
-        fcol = ((hcx >> 2) * PY4 + (hcy >> 2)) * 16 + ((hcx & 3) << 2) + (
-            hcy & 3
+        hit, hit_t, hslot, fused, nrm, n_fine = finish(
+            table_ref, ray, active == 1, (cx, cy, cz, t),
+            (hslot_u, hit, hit_t, hcx, hcy, hcz), fine_dma,
         )
-        fwaddr = jnp.where(need_slot, fcol * zw + fzw, 0)
-        if fine_in_hbm:
-            # fine table lives in HBM (too big for VMEM): each serve
-            # round DMAs its window into VMEM scratch first.  Paid once
-            # per traversal at the hit, not per march step.
-            scratch, sem = fine_dma
-            fword, _, kf2 = _serve_loop_hbm(
-                table_ref, scratch, sem, n_rows, fwaddr, need_slot,
-                zero_i, zero_i - 1, win=FINE_WIN,
-            )
-        else:
-            fword, _, kf2 = _serve_loop(
-                table_ref, n_rows, fwaddr, need_slot, zero_i, zero_i - 1,
-                win=FINE_WIN,
-            )
-        hslot = jnp.where(
-            need_slot, (fword >> ((hcz - fzw * 3) * 10)) & 1023, hslot_u
-        )
-        hslot = jnp.where(hitb & (~fused), hslot, 0)
-        n_fine = kf2
-
-        # normal: dominant axis of (hit point - cell center), sign
-        # opposing the ray; exact ties set several components
-        # (voxels.comp:181-187)
-        px = ox_ + hit_t * dx
-        py = oy_ + hit_t * dy
-        pz = oz_ + hit_t * dz
-        ccx = (float(oxi) + hcx.astype(jnp.float32)) * CELL_SIZE + 0.5 * CELL_SIZE
-        ccy = (float(oyi) + hcy.astype(jnp.float32)) * CELL_SIZE + 0.5 * CELL_SIZE
-        ccz = (float(ozi) + hcz.astype(jnp.float32)) * CELL_SIZE + 0.5 * CELL_SIZE
-        ax = jnp.abs(px - ccx)
-        ay = jnp.abs(py - ccy)
-        az = jnp.abs(pz - ccz)
-        m = jnp.maximum(jnp.maximum(ax, ay), az)
-        nx = jnp.where((ax == m) & hitb, -jnp.sign(dx), 0.0)
-        ny = jnp.where((ay == m) & hitb, -jnp.sign(dy), 0.0)
-        nz = jnp.where((az == m) & hitb, -jnp.sign(dz), 0.0)
-
         return (
-            hit, hit_t, hslot, fused, (nx, ny, nz),
+            hit, hit_t, hslot, fused, nrm,
             (n_iters, n_serves, n_act, n_fine, n_live),
         )
 
-    return traverse
+    def traverse_q2(
+        table_ref, meta_ref, brick_ref, ray_a, ray_b, fine_dma=None
+    ):
+        """Two rays per lane, traced SEQUENTIALLY in one while loop.
+
+        ``ray_a`` / ``ray_b``: (o3, d3, mask) batches.  Each lane
+        marches ray A to completion, then swaps ray B's precomputed
+        init state into its registers and continues — so the tile's
+        while-trip count is max(len_a + len_b) over lanes instead of
+        max(len_a) + max(len_b), converting the SIMD divergence tail
+        (measured 4-10% lane utilization on bounce phases) into useful
+        work.  The meta/brick caches survive the swap (addresses are
+        global).  Returns (res_a, res_b, counters), each res =
+        (hit, t, slot, fused, normals).
+
+        Cap edge: if the combined march hits MAX_OUTER_ITERS (far
+        beyond any real scene; per-ray fuse would need >2048 steps),
+        a lane still on ray A reports A fused-at-current-cell and B
+        as a miss."""
+        rayA, cxA, cyA, czA, t0A, a0A = ray_setup(*ray_a)
+        rayB, cxB, cyB, czB, t0B, a0B = ray_setup(*ray_b)
+        one_step = make_step(meta_ref, brick_ref)
+        zero_i = jnp.zeros_like(cxA)
+        zero_f = jnp.zeros_like(t0A)
+        rec_zero = (zero_i, zero_i, zero_f, zero_i, zero_i, zero_i)
+
+        def swap(qidx, ray, trav, recs, savedA):
+            """Lanes whose current ray A just finished: bank A's hit
+            records and load ray B's init state."""
+            active, cx, cy, cz, t = trav
+            doneA = (qidx == 0) & (active == 0)
+            savedA = tuple(
+                jnp.where(doneA, c, o) for c, o in zip(recs, savedA)
+            )
+            ray = tuple(jnp.where(doneA, b, c) for b, c in zip(rayB, ray))
+            trav = (
+                jnp.where(doneA, a0B, active),
+                jnp.where(doneA, cxB, cx),
+                jnp.where(doneA, cyB, cy),
+                jnp.where(doneA, czB, cz),
+                jnp.where(doneA, t0B, t),
+            )
+            recs = tuple(
+                jnp.where(doneA, z, c) for z, c in zip(rec_zero, recs)
+            )
+            qidx = jnp.where(doneA, 1, qidx)
+            return qidx, ray, trav, recs, savedA
+
+        # lanes whose ray A is dead on arrival start directly on B
+        qidx0, ray0, trav0, recs0, savedA0 = swap(
+            zero_i, rayA, (a0A, cxA, cyA, czA, t0A), rec_zero, rec_zero
+        )
+        mst0 = (zero_i - 1, zero_i, zero_i - 1, zero_i, zero_i)
+
+        def cond(s):
+            return jnp.logical_and(
+                s[0] < MAX_OUTER_ITERS, jnp.max(s[17]) > 0
+            )
+
+        def body(s):
+            it = s[0]
+            nserv, nact, nlive = s[1:4]
+            qidx = s[4]
+            ray = s[5:17]
+            trav = s[17:22]
+            mst = s[22:27]
+            recs = s[27:33]
+            savedA = s[33:39]
+            out = one_step(ray, nserv, nact, nlive, *trav, *mst, *recs)
+            nserv, nact, nlive = out[0:3]
+            trav = out[3:8]
+            mst = out[8:13]
+            recs = out[13:19]
+            qidx, ray, trav, recs, savedA = swap(
+                qidx, ray, trav, recs, savedA
+            )
+            return (
+                (it + 1, nserv, nact, nlive, qidx)
+                + ray + trav + mst + recs + savedA
+            )
+
+        state = (
+            (np.int32(0), np.int32(0), np.int32(0), np.int32(0), qidx0)
+            + ray0 + trav0 + mst0 + recs0 + savedA0
+        )
+        out = jax.lax.while_loop(cond, body, state)
+        n_iters, n_serves, n_act = out[0], out[1], out[2]
+        n_live, qidx = out[3], out[4]
+        active = out[17]
+        cur = (out[18], out[19], out[20], out[21])  # cx, cy, cz, t
+        recs = out[27:33]
+        savedA = out[33:39]
+
+        curA = qidx == 0
+        recsA = tuple(
+            jnp.where(curA, c, sa) for c, sa in zip(recs, savedA)
+        )
+        recsB = tuple(
+            jnp.where(curA, z, c) for z, c in zip(rec_zero, recs)
+        )
+        hitA, tA, slotA, fusedA, nrmA, nfA = finish(
+            table_ref, rayA, curA & (active == 1), cur, recsA, fine_dma
+        )
+        hitB, tB, slotB, fusedB, nrmB, nfB = finish(
+            table_ref, rayB, (~curA) & (active == 1), cur, recsB, fine_dma
+        )
+        counters = (n_iters, n_serves, n_act, nfA + nfB, n_live)
+        return (
+            (hitA, tA, slotA, fusedA, nrmA),
+            (hitB, tB, slotB, fusedB, nrmB),
+            counters,
+        )
+
+    return traverse, traverse_q2
 
 
 def _make_kernel(
     dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
     max_bounces=MAX_BOUNCES, fine_in_hbm=False,
 ):
-    traverse = _make_traverse(
+    traverse, traverse_q2 = _make_traverse(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         fine_in_hbm=fine_in_hbm,
     )
@@ -784,14 +929,44 @@ def _make_kernel(
         first_nz = zf + ALMOST_INFINITY
         first_t = zf - 1.0
 
+        # Deferred sun NEE: each bounce's shadow ray rides the NEXT
+        # bounce's traversal as the second ray of a two-ray-per-lane
+        # serve loop (traverse_q2) — same origin, shared serve sweeps,
+        # and the short shadow march fills the bounce march's SIMD
+        # divergence tail.  The occlusion-gated contribution is applied
+        # when the paired traversal returns (the adds are commutative;
+        # blend factors are captured at emission time).
+        pend = None  # (gate, pr, pg, pb) of the previous bounce
+        shadow_ray = None
+
+        def apply_pend(obst_i, sample_r, sample_g, sample_b):
+            gate, pr, pg, pb = pend
+            ok = gate & (obst_i == 0)
+            sample_r += jnp.where(ok, pr, 0.0)
+            sample_g += jnp.where(ok, pg, 0.0)
+            sample_b += jnp.where(ok, pb, 0.0)
+            return sample_r, sample_g, sample_b
+
         for bounce in range(max_bounces):
             k0 = RANDS_PER_BOUNCE * bounce
-            hit_i, t, slot, fused, (nx, ny, nz), t_iters = traverse(
-                table_ref, meta_ref, brick_ref,
-                (rox, roy, roz), (rdx, rdy, rdz),
-                mask=(alive == 1), fine_dma=fine_dma,
-            )
-            iter_counts.append(t_iters)  # (n_iters, n_serves)
+            if bounce == 0:
+                hit_i, t, slot, fused, (nx, ny, nz), t_iters = traverse(
+                    table_ref, meta_ref, brick_ref,
+                    (rox, roy, roz), (rdx, rdy, rdz),
+                    mask=(alive == 1), fine_dma=fine_dma,
+                )
+            else:
+                sres, bres, t_iters = traverse_q2(
+                    table_ref, meta_ref, brick_ref,
+                    shadow_ray,
+                    ((rox, roy, roz), (rdx, rdy, rdz), alive == 1),
+                    fine_dma=fine_dma,
+                )
+                sample_r, sample_g, sample_b = apply_pend(
+                    sres[0], sample_r, sample_g, sample_b
+                )
+                hit_i, t, slot, fused, (nx, ny, nz) = bres
+            iter_counts.append(t_iters)  # (n_iters, n_serves, ...)
             hit = (hit_i == 1) & (alive == 1)
             node = slot_color(slot)
             node = jnp.where(fused, LEAF_BIT, node)
@@ -850,18 +1025,16 @@ def _make_kernel(
             # NEE elision: when the sun is behind the surface the
             # contribution is cos_term-clamped to zero regardless of
             # occlusion, so the shadow traversal is skipped exactly
-            # (voxels.comp:339-361 pays it unconditionally).
+            # (voxels.comp:339-361 pays it unconditionally).  The
+            # traversal itself is deferred: it pairs with the next
+            # bounce's march (or the tail call after the loop).
             cos_term = jnp.maximum(0.0, _dot3(nx, ny, nz, shx, shy, shz))
-            obst_i, _, _, _, _, s_iters = traverse(
-                table_ref, meta_ref, brick_ref,
-                (sox, soy, soz), (shx, shy, shz),
-                mask=hit & (~specular) & (sun_strength > 0.0)
-                & (cos_term > 0.0),
-                fine_dma=fine_dma,
-            )
-            iter_counts.append(s_iters)
             sun_on = sun_strength > 0.0
-            sun_ok = (obst_i == 0) & sun_on
+            shadow_ray = (
+                (sox, soy, soz),
+                (shx, shy, shz),
+                hit & (~specular) & sun_on & (cos_term > 0.0),
+            )
 
             # hemisphere sample
             phi = 2.0 * np.float32(np.pi) * noise(k0 + 6)
@@ -883,10 +1056,14 @@ def _make_kernel(
             sample_r += jnp.where(hit, em_r * blend_r, 0.0)
             sample_g += jnp.where(hit, em_g * blend_g, 0.0)
             sample_b += jnp.where(hit, em_b * blend_b, 0.0)
-            sun_gate = diff_sel & sun_ok
-            sample_r += jnp.where(sun_gate, sun_col[0] * col_r * blend_r * cos_term, 0.0)
-            sample_g += jnp.where(sun_gate, sun_col[1] * col_g * blend_g * cos_term, 0.0)
-            sample_b += jnp.where(sun_gate, sun_col[2] * col_b * blend_b * cos_term, 0.0)
+            # sun contribution pends on the deferred occlusion result;
+            # blend/cos factors are captured NOW (pre-update blend)
+            pend = (
+                diff_sel & sun_on,
+                sun_col[0] * col_r * blend_r * cos_term,
+                sun_col[1] * col_g * blend_g * cos_term,
+                sun_col[2] * col_b * blend_b * cos_term,
+            )
             ambient += (diff_sel & sun_on).astype(jnp.float32)
 
             bf_spec = 2.0 * spec_dot
@@ -937,6 +1114,17 @@ def _make_kernel(
             rox = jnp.where(hit, sox, rox)
             roy = jnp.where(hit, soy, roy)
             roz = jnp.where(hit, soz, roz)
+
+        # tail: the last bounce's sun shadow ray, traced alone
+        obst_i, _, _, _, _, s_iters = traverse(
+            table_ref, meta_ref, brick_ref,
+            shadow_ray[0], shadow_ray[1], mask=shadow_ray[2],
+            fine_dma=fine_dma,
+        )
+        iter_counts.append(s_iters)
+        sample_r, sample_g, sample_b = apply_pend(
+            obst_i, sample_r, sample_g, sample_b
+        )
 
         color_r_ref[:] = sample_r / ambient
         color_g_ref[:] = sample_g / ambient
