@@ -37,13 +37,14 @@ def _compare(scene, cam, w=128, h=64, seed=7, **trace_kw):
     t = scene.device_tables()
     cam_arr = np.stack([cam.position, right, up, forward]).astype(np.float32)
     pvec = trace_pallas.pack_params(cam_arr, params)
+    nq = trace_pallas.noise_quads(jnp.asarray(buf), jnp.int32(1))
     x = trace_pallas.render_sample(
         jnp.asarray(t["packed_idx"]),
         jnp.asarray(t["meta_idx"]),
         jnp.asarray(t["brick_idx"]),
         jnp.asarray(t["palette"]),
         jnp.asarray(pvec),
-        jnp.asarray(planes),
+        nq,
         dims=scene.values.shape,
         zw=t["zw"],
         origin=tuple(int(v) for v in scene.origin),

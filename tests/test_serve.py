@@ -48,9 +48,10 @@ def test_serve_loop_scattered_addresses_exact():
     assert (out[need] == ref[need]).all()
     assert rounds <= -(-N_ROWS // 16) + 1
 
-def test_serve_loop_coherent_addresses_one_round():
-    """Coherent lanes (one shared row) must be served in one round —
-    the property the whole serve-loop design banks on."""
+def test_serve_loop_coherent_addresses_zero_adaptive_rounds():
+    """Coherent lanes (one shared row) must be fully served by the
+    static ladder — zero adaptive straggler rounds — the property the
+    whole serve-loop design banks on."""
     rng = np.random.default_rng(1)
     table = rng.integers(0, 1 << 30, (N_ROWS, 128)).astype(np.int32)
     row = 37
@@ -59,7 +60,7 @@ def test_serve_loop_coherent_addresses_one_round():
     out, rounds = _run_serve(table, waddr, need, win=16)
     ref = table.reshape(-1)[waddr]
     assert (out == ref).all()
-    assert rounds == 1
+    assert rounds == 0  # ladder window at r_min covers the shared row
 
 
 def test_serve_loop_pair_split_tables_exact():

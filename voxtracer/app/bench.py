@@ -91,7 +91,7 @@ def config1_oracle_match(quick=False):
         jnp.asarray(t["brick_idx"]),
         jnp.asarray(t["palette"]),
         jnp.asarray(trace_pallas.pack_params(cam_arr, params)),
-        jnp.asarray(planes),
+        trace_pallas.noise_quads(jnp.asarray(buf), jnp.int32(1)),
         dims=scene.values.shape,
         zw=t["zw"],
         origin=tuple(int(v) for v in scene.origin),
@@ -295,7 +295,7 @@ def config6_asset_sweep(quick=False):
             jnp.asarray(t["brick_idx"]),
             jnp.asarray(t["palette"]),
             jnp.asarray(trace_pallas.pack_params(cam_arr, params)),
-            jnp.asarray(planes),
+            trace_pallas.noise_quads(jnp.asarray(buf), jnp.int32(1)),
             dims=scene.values.shape,
             zw=t["zw"],
             origin=tuple(int(v) for v in scene.origin),

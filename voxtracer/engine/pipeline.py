@@ -78,9 +78,6 @@ def render_frame_impl(
     shard_axis: str = "rows",
 ):
     dims, origin, zw, n_rows, l3_dims, m_rows, b_rows = scene_meta
-    planes = noise_op.noise_planes(
-        noise_buffer, frame_number, height, width, xp=jnp
-    )
 
     if trace_impl.startswith("pallas"):
         # "pallas_interpret" runs the same kernel through the Pallas
@@ -102,13 +99,16 @@ def render_frame_impl(
             fine_in_hbm=trace_impl == "pallas_hbm",
         )
         if shard_mesh is None:
+            nq = trace_pallas.noise_quads(
+                jnp.asarray(noise_buffer), frame_number
+            )
             gbuf = trace_pallas.render_sample(
                 scene_arrays["packed_idx"],
                 scene_arrays["meta_idx"],
                 scene_arrays["brick_idx"],
                 scene_arrays["palette"],
                 params_vec,
-                planes,
+                nq,
                 height=height,
                 **trace_kw,
             )
@@ -117,20 +117,20 @@ def render_frame_impl(
             # the trace stage runs under shard_map — each chip traces
             # its own row slab against the replicated scene (zero
             # collectives; params slot 30 carries the slab's global
-            # row so ray-gen stays image-global).
+            # row so ray-gen stays image-global, and the noise quads
+            # are pre-rolled by the slab's row offset).
             from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
 
             n_dev = shard_mesh.devices.size
             slab = height // n_dev
 
-            def _trace(packed, meta, brick, pal, pv, planes_slab):
-                row0 = (
-                    jax.lax.axis_index(shard_axis) * slab
-                ).astype(jnp.float32)
-                pv = pv.at[0, 30].set(row0)
+            def _trace(packed, meta, brick, pal, pv, nbuf, fnum):
+                row0 = jax.lax.axis_index(shard_axis) * slab
+                pv = pv.at[0, 30].set(row0.astype(jnp.float32))
+                nq = trace_pallas.noise_quads(nbuf, fnum, roll=row0)
                 return trace_pallas.render_sample(
-                    packed, meta, brick, pal, pv, planes_slab,
+                    packed, meta, brick, pal, pv, nq,
                     height=slab, **trace_kw,
                 )
 
@@ -145,9 +145,7 @@ def render_frame_impl(
             gbuf = shard_map(
                 _trace,
                 mesh=shard_mesh,
-                in_specs=(
-                    P(), P(), P(), P(), P(), P(None, shard_axis, None),
-                ),
+                in_specs=(P(), P(), P(), P(), P(), P(), P()),
                 out_specs=out_specs,
                 check_rep=False,
             )(
@@ -156,9 +154,13 @@ def render_frame_impl(
                 scene_arrays["brick_idx"],
                 scene_arrays["palette"],
                 params_vec,
-                planes,
+                jnp.asarray(noise_buffer),
+                frame_number,
             )
     else:
+        planes = noise_op.noise_planes(
+            noise_buffer, frame_number, height, width, xp=jnp
+        )
         gbuf = trace_xla.render_sample(
             scene_arrays["flat_grid"],
             dims,

@@ -54,6 +54,7 @@ TILE_H = int(_os.environ.get("VOX_TILE_H", 32))
 TILE_W = 128
 MAX_BOUNCES = 3
 RANDS_PER_BOUNCE = 8
+PLANES_PER_FRAME = 24  # RANDS_PER_BOUNCE * MAX_BOUNCES
 MAX_OUTER_ITERS = 4096
 ALMOST_INFINITY = float(1 << 30)
 LEAF_BIT = np.int32(-(1 << 31))
@@ -74,6 +75,10 @@ BRICK_WIN = int(_os.environ.get("VOX_BRICK_WIN", 16))  # 8/32/64 slower
 MICRO_STEPS = int(_os.environ.get("VOX_MICRO", 5))  # 3/10 measured slower
 FINE_WIN = int(_os.environ.get("VOX_FINE_WIN", WIN_ROWS))
 UNROLL = int(_os.environ.get("VOX_UNROLL", 1))  # DDA steps/while round
+# Ladder depth: serve windows at static offsets r0, r0+win, … after
+# ONE min-reduce, before adaptive straggler rounds (see _serve_loop).
+# Swept: 1 best (55.9 ms menger 720p vs 59.1 at 2, 66+ pure-adaptive).
+LADDER = int(_os.environ.get("VOX_LADDER", 1))
 # Lanes cover a square BLOCK x BLOCK pixel region per program (better
 # 3-D locality for the serve loop than a raw TILE_H x TILE_W image
 # strip: ~2.5x fewer serve iterations on menger).  The image<->lane
@@ -144,6 +149,33 @@ def pack_params_traced(cam, p):
     return jnp.pad(vec, (0, PARAMS_LEN - vec.shape[0])).reshape(1, PARAMS_LEN)
 
 
+def noise_quads(buffer, frame, count=PLANES_PER_FRAME, roll=None):
+    """Lane-layout RNG planes as (count, P, P, TILE_H, TILE_W) quads.
+
+    The reference's rand() value at pixel (py, px) is
+    ``buffer[(frame+1+k) % S, py % 128, px % 128]``
+    (``voxels.comp:65-71, 268-275``) — 128-periodic in both pixel
+    axes.  Since kernel blocks are BLOCK-sized and BLOCK divides 128,
+    grid program (i, j) needs only quadrant (i % P, j % P) of each
+    slice (P = 128 // BLOCK), already reshaped to the (TILE_H, 128)
+    lane plane.  That replaces the full-image noise materialization +
+    lane remap (~90 MB of HBM traffic per 720p frame) with a ~1.5 MB
+    table the BlockSpec indexes by program-id parity.
+
+    ``roll`` (int32, optional): global row offset of this image slab —
+    the sharded path pre-rolls the y axis so in-kernel parity stays
+    ``i % P`` regardless of slab alignment."""
+    n_slices = buffer.shape[0]
+    P = 128 // BLOCK
+    sl = jnp.stack(
+        [buffer[(frame + 1 + k) % n_slices] for k in range(count)]
+    )
+    if roll is not None:
+        sl = jnp.roll(sl, -roll, axis=1)
+    q = sl.reshape(count, P, BLOCK, P, BLOCK).transpose(0, 1, 3, 2, 4)
+    return q.reshape(count, P, P, TILE_H, TILE_W)
+
+
 def _flat_gather_1024(table, idx):
     """Per-lane gather from a (8, 128) table; idx in [0, 1024)."""
     lo = idx & 127
@@ -181,25 +213,31 @@ def _norm_div3(x, y, z):
     return x / n, y / n, z / n
 
 
-def _serve_loop(ref, n_rows_, waddr, need0, word, cached, win=WIN_ROWS):
-    """Window-serve per-lane word fetches from ``ref``: each round
-    min-reduces the pending row indices, slices a ``win``-row window
-    and broadcast+gathers each row; lanes outside the window retry next
-    round.  Returns (word, cached, rounds)."""
+def _serve_loop(
+    ref, n_rows_, waddr, need0, word, cached, win=WIN_ROWS, ladder=LADDER
+):
+    """Window-serve per-lane word fetches from ``ref``.
+
+    Cost model: every adaptive round pays a vector→scalar handoff
+    (min-reduce feeding a dynamic slice, ~hundreds of cycles of
+    pipeline stall).  So the serve runs as a LADDER first — one
+    min-reduce, then ``LADDER`` windows at static offsets r0, r0+win,
+    … (scalar adds, no further reduces) — which covers the measured
+    per-step pending spans in the common case; an adaptive while loop
+    then serves rare stragglers (gaps wider than the ladder).
+    Returns (word, cached, rounds)."""
     win = min(win, n_rows_)
     rows = waddr >> 7
     need_i = need0.astype(jnp.int32)
 
-    def serve_round(word_, cached_):
-        needf = (need_i == 1) & (waddr != cached_)
-        r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
-        r_base = jnp.clip(r_min, 0, n_rows_ - win)
+    def sweep(word_, cached_, r_base):
+        """One window at r_base — pure vector work, no reduces.
+        ``off == s8`` alone suffices as the serve mask: a non-pending
+        lane whose off lands in-window just re-gathers the word its
+        own address maps to (same row ⇒ same value — a no-op write),
+        so the needf/in_win factors are hoisted out of the row loop."""
         window = ref[pl.ds(r_base, win), :]
         off = rows - r_base
-        # ``off == s8`` alone suffices as the serve mask: a non-pending
-        # lane whose off lands in-window just re-gathers the word its
-        # own address maps to (same row ⇒ same value — a no-op write),
-        # so the needf/in_win factors are hoisted out of the row loop.
         for s8 in range(win):
             row_b = jnp.broadcast_to(window[s8 : s8 + 1, :], waddr.shape)
             g = jnp.take_along_axis(row_b, waddr & 127, axis=1)
@@ -207,6 +245,20 @@ def _serve_loop(ref, n_rows_, waddr, need0, word, cached, win=WIN_ROWS):
         in_win = (off >= 0) & (off < win)
         cached_ = jnp.where(in_win, waddr, cached_)
         return word_, cached_
+
+    needf0 = (need_i == 1) & (waddr != cached)
+    r_min = jnp.min(jnp.where(needf0, rows, BIG_I32))
+    r0 = jnp.clip(r_min, 0, n_rows_ - win)
+    for k in range(min(ladder, -(-n_rows_ // win))):
+        word, cached = sweep(
+            word, cached, jnp.minimum(r0 + k * win, n_rows_ - win)
+        )
+
+    def serve_round(word_, cached_):
+        needf = (need_i == 1) & (waddr != cached_)
+        r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
+        r_base = jnp.clip(r_min, 0, n_rows_ - win)
+        return sweep(word_, cached_, r_base)
 
     def serve_cond(ss):
         k, word_, cached_ = ss
@@ -283,15 +335,12 @@ def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
     win = min(win, n_rows_)
     rows = waddr >> 7
     need_i = need0.astype(jnp.int32)
+    col = waddr & 127
 
-    def serve_round(lo_, hi_, cached_):
-        needf = (need_i == 1) & (waddr != cached_)
-        r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
-        r_base = jnp.clip(r_min, 0, n_rows_ - win)
+    def sweep(lo_, hi_, cached_, r_base):
         win_lo = ref[0, pl.ds(r_base, win), :]
         win_hi = ref[1, pl.ds(r_base, win), :]
         off = rows - r_base
-        col = waddr & 127
         # serve mask is just ``off == s8`` — see _serve_loop
         for s8 in range(win):
             lo_b = jnp.broadcast_to(win_lo[s8 : s8 + 1, :], waddr.shape)
@@ -306,6 +355,21 @@ def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
         in_win = (off >= 0) & (off < win)
         cached_ = jnp.where(in_win, waddr, cached_)
         return lo_, hi_, cached_
+
+    # static ladder after one min-reduce — see _serve_loop
+    needf0 = (need_i == 1) & (waddr != cached)
+    r_min = jnp.min(jnp.where(needf0, rows, BIG_I32))
+    r0 = jnp.clip(r_min, 0, n_rows_ - win)
+    for k in range(min(LADDER, -(-n_rows_ // win))):
+        lo, hi, cached = sweep(
+            lo, hi, cached, jnp.minimum(r0 + k * win, n_rows_ - win)
+        )
+
+    def serve_round(lo_, hi_, cached_):
+        needf = (need_i == 1) & (waddr != cached_)
+        r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
+        r_base = jnp.clip(r_min, 0, n_rows_ - win)
+        return sweep(lo_, hi_, cached_, r_base)
 
     def serve_cond(ss):
         k = ss[0]
@@ -610,7 +674,7 @@ def _make_traverse(
         else:
             fword, _, kf2 = _serve_loop(
                 table_ref, n_rows, fwaddr, need_slot, zero_i, zero_i - 1,
-                win=FINE_WIN,
+                win=FINE_WIN, ladder=0,
             )
         hslot = jnp.where(
             need_slot, (fword >> ((hcz - fzw * 3) * 10)) & 1023, hslot_u
@@ -844,7 +908,7 @@ def _make_kernel(
         meta_ref,  # (m_rows, 128) int32 VMEM
         brick_ref,  # (2, b_rows, 128) int32 VMEM (lo/hi mask words)
         palette_ref,  # (8, 128) int32 VMEM
-        noise_ref,  # (24, TILE_H, TILE_W) f32 VMEM
+        noise_ref,  # (24, 1, 1, TILE_H, TILE_W) f32 VMEM quad block
         color_r_ref,
         color_g_ref,
         color_b_ref,
@@ -905,7 +969,7 @@ def _make_kernel(
         nsx, nsy, nsz = P(27), P(28), P(29)
 
         def noise(k):
-            return noise_ref[k, :, :]
+            return noise_ref[k, 0, 0, :, :]
 
         def slot_color(slot_vals):
             node = _flat_gather_1024(palette_ref[:, :], slot_vals)
@@ -1172,7 +1236,7 @@ def render_sample(
     brick_idx: jnp.ndarray,  # (2, b_rows, 128) int32
     palette: jnp.ndarray,  # (8, 128) int32
     params_vec: jnp.ndarray,  # (1, PARAMS_LEN) f32
-    noise_planes: jnp.ndarray,  # (24, H, W) f32
+    noise_q: jnp.ndarray,  # (24, P, P, TILE_H, TILE_W) f32, noise_quads()
     *,
     dims: Tuple[int, int, int],
     zw: int,
@@ -1188,25 +1252,13 @@ def render_sample(
     fine_in_hbm: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Trace one sample with the Pallas kernel; same output dict as
-    :func:`voxtracer.ops.trace_xla.render_sample` (H, W shapes)."""
+    :func:`voxtracer.ops.trace_xla.render_sample` (H, W shapes).
+    ``noise_q`` is the tiny periodic quad table from
+    :func:`noise_quads` — no full-image noise planes exist anywhere."""
     hp = _pad_to(height, BLOCK)
     wp = _pad_to(width, BLOCK)
-    if (hp, wp) != noise_planes.shape[1:]:
-        noise_planes = jnp.pad(
-            noise_planes,
-            ((0, 0), (0, hp - noise_planes.shape[1]),
-             (0, wp - noise_planes.shape[2])),
-        )
-    # noise planes rearranged to the kernel's square-block lane layout
-    # (~5 ms at 720p, far below the serve rounds the layout saves)
     nby, nbx = hp // BLOCK, wp // BLOCK
-    noise_planes = (
-        noise_planes.reshape(24, nby, BLOCK, nbx, BLOCK)
-        .transpose(0, 1, 3, 2, 4)  # (k, i, j, y, x)
-        .reshape(24, nby, nbx, TILE_H, TILE_W)  # lane = y*BLOCK + x
-        .transpose(0, 1, 3, 2, 4)  # (k, i, r, j, c)
-        .reshape(24, nby * TILE_H, nbx * TILE_W)
-    )
+    P = 128 // BLOCK
 
     grid = (nby, nbx)
     kernel = _make_kernel(
@@ -1258,8 +1310,8 @@ def render_sample(
             full((2, b_rows, 128)),
             full((8, 128)),
             pl.BlockSpec(
-                (24, TILE_H, TILE_W),
-                lambda i, j: (0, i, j),
+                (24, 1, 1, TILE_H, TILE_W),
+                lambda i, j: (0, i % P, j % P, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -1269,7 +1321,7 @@ def render_sample(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(params_vec, packed_idx, meta_idx, brick_idx, palette, noise_planes)
+    )(params_vec, packed_idx, meta_idx, brick_idx, palette, noise_q)
 
     (cr, cg, cb, nx, ny, nz, depth, node, ar, ag, ab, dbg) = outs
 
