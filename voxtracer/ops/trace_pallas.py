@@ -908,9 +908,9 @@ def _make_kernel(
         meta_ref,  # (m_rows, 128) int32 VMEM
         brick_ref,  # (2, b_rows, 128) int32 VMEM (lo/hi mask words)
         palette_ref,  # (8, 128) int32 VMEM
-        noise_ref,  # (24, 1, 1, TILE_H, TILE_W) f32 VMEM quad block
-        color_r_ref,
-        color_g_ref,
+        noise_ref,  # (24, 1, 2, TILE_H, TILE_W) f32 VMEM quad block
+        color_r_ref,  # out blocks are (TILE_H, 2*TILE_W): pixel group
+        color_g_ref,  # q lives in columns [q*TILE_W, (q+1)*TILE_W)
         color_b_ref,
         normal_x_ref,
         normal_y_ref,
@@ -940,24 +940,12 @@ def _make_kernel(
         zf = fx * 0.0
         onef = zf + 1.0
         zi = zf.astype(jnp.int32)
-        # lanes cover a square BLOCK x BLOCK pixel region (see BLOCK)
         lane = iy * TILE_W + ix
-        px = (tj * BLOCK + (lane % BLOCK)).astype(jnp.float32)
-        py = (ti * BLOCK + (lane // BLOCK)).astype(jnp.float32) + P(30)
 
         cam_o = (P(0), P(1), P(2))
         right = (P(3), P(4), P(5))
         up = (P(6), P(7), P(8))
         fwd = (P(9), P(10), P(11))
-
-        rdx = px * right[0] - py * up[0] + fwd[0]
-        rdy = px * right[1] - py * up[1] + fwd[1]
-        rdz = px * right[2] - py * up[2] + fwd[2]
-        rdx, rdy, rdz = _norm_div3(rdx, rdy, rdz)
-
-        rox = zf + cam_o[0]
-        roy = zf + cam_o[1]
-        roz = zf + cam_o[2]
 
         sun_yaw, sun_pitch = P(12), P(13)
         sun_size, sun_strength = P(14), P(15)
@@ -967,9 +955,10 @@ def _make_kernel(
 
         sdx, sdy, sdz = P(24), P(25), P(26)
         nsx, nsy, nsz = P(27), P(28), P(29)
+        sun_on = sun_strength > 0.0
 
-        def noise(k):
-            return noise_ref[k, 0, 0, :, :]
+        def noise(k, q):
+            return noise_ref[k, 0, q, :, :]
 
         def slot_color(slot_vals):
             node = _flat_gather_1024(palette_ref[:, :], slot_vals)
@@ -981,63 +970,57 @@ def _make_kernel(
             b = (node & 0xFF).astype(jnp.float32) / 255.0
             return r, g, b
 
+        # Per-pixel-group state: this program owns TWO adjacent
+        # BLOCK x BLOCK pixel blocks (2*tj and 2*tj+1).  Every
+        # traversal phase pairs group 0's ray with group 1's in the
+        # two-ray-per-lane queue (traverse_q2): iid traversal lengths
+        # make the merged trip count ~max+mean instead of 2*max,
+        # recovering the measured 90%+ divergence-tail waste.
+        G = []
+        for q in range(2):
+            px = ((tj * 2 + q) * BLOCK + (lane % BLOCK)).astype(
+                jnp.float32
+            )
+            py = (ti * BLOCK + (lane // BLOCK)).astype(jnp.float32) + P(30)
+            rdx = px * right[0] - py * up[0] + fwd[0]
+            rdy = px * right[1] - py * up[1] + fwd[1]
+            rdz = px * right[2] - py * up[2] + fwd[2]
+            rdx, rdy, rdz = _norm_div3(rdx, rdy, rdz)
+            G.append(
+                dict(
+                    q=q,
+                    rdx=rdx, rdy=rdy, rdz=rdz,
+                    rox=zf + cam_o[0],
+                    roy=zf + cam_o[1],
+                    roz=zf + cam_o[2],
+                    sample_r=zf, sample_g=zf, sample_b=zf,
+                    blend_r=onef, blend_g=onef, blend_b=onef,
+                    ambient=onef,
+                    alive=zi + 1,
+                    first_node=zi + MISS_NODE,
+                    first_nx=zf + ALMOST_INFINITY,
+                    first_ny=zf + ALMOST_INFINITY,
+                    first_nz=zf + ALMOST_INFINITY,
+                    first_t=zf - 1.0,
+                )
+            )
+
         iter_counts = []
-        sample_r, sample_g, sample_b = zf, zf, zf
-        blend_r, blend_g, blend_b = onef, onef, onef
-        ambient = onef
-        alive = zi + 1
 
-        first_node = zi + MISS_NODE
-        first_nx = zf + ALMOST_INFINITY
-        first_ny = zf + ALMOST_INFINITY
-        first_nz = zf + ALMOST_INFINITY
-        first_t = zf - 1.0
-
-        # Deferred sun NEE: each bounce's shadow ray rides the NEXT
-        # bounce's traversal as the second ray of a two-ray-per-lane
-        # serve loop (traverse_q2) — same origin, shared serve sweeps,
-        # and the short shadow march fills the bounce march's SIMD
-        # divergence tail.  The occlusion-gated contribution is applied
-        # when the paired traversal returns (the adds are commutative;
-        # blend factors are captured at emission time).
-        pend = None  # (gate, pr, pg, pb) of the previous bounce
-        shadow_ray = None
-
-        def apply_pend(obst_i, sample_r, sample_g, sample_b):
-            gate, pr, pg, pb = pend
-            ok = gate & (obst_i == 0)
-            sample_r += jnp.where(ok, pr, 0.0)
-            sample_g += jnp.where(ok, pg, 0.0)
-            sample_b += jnp.where(ok, pb, 0.0)
-            return sample_r, sample_g, sample_b
-
-        for bounce in range(max_bounces):
+        def shade_hit(g, res, bounce):
+            """Bounce-hit shading through the shadow-ray build; the
+            occlusion-dependent pieces wait for the paired shadow
+            traversal (shade_light)."""
             k0 = RANDS_PER_BOUNCE * bounce
-            if bounce == 0:
-                hit_i, t, slot, fused, (nx, ny, nz), t_iters = traverse(
-                    table_ref, meta_ref, brick_ref,
-                    (rox, roy, roz), (rdx, rdy, rdz),
-                    mask=(alive == 1), fine_dma=fine_dma,
-                )
-            else:
-                sres, bres, t_iters = traverse_q2(
-                    table_ref, meta_ref, brick_ref,
-                    shadow_ray,
-                    ((rox, roy, roz), (rdx, rdy, rdz), alive == 1),
-                    fine_dma=fine_dma,
-                )
-                sample_r, sample_g, sample_b = apply_pend(
-                    sres[0], sample_r, sample_g, sample_b
-                )
-                hit_i, t, slot, fused, (nx, ny, nz) = bres
-            iter_counts.append(t_iters)  # (n_iters, n_serves, ...)
-            hit = (hit_i == 1) & (alive == 1)
+            q = g["q"]
+            hit_i, t, slot, fused, (nx, ny, nz) = res
+            hit = (hit_i == 1) & (g["alive"] == 1)
             node = slot_color(slot)
             node = jnp.where(fused, LEAF_BIT, node)
 
-            hx_pos = rox + t * rdx
-            hy_pos = roy + t * rdy
-            hz_pos = roz + t * rdz
+            hx_pos = g["rox"] + t * g["rdx"]
+            hy_pos = g["roy"] + t * g["rdy"]
+            hz_pos = g["roz"] + t * g["rdz"]
 
             cr, cg, cb = node_rgb(node)
             if bounce == 0:
@@ -1047,28 +1030,38 @@ def _make_kernel(
             else:
                 col_r, col_g, col_b = cr, cg, cb
             emissive = ((node & EMISSIVE_BIT) != 0).astype(jnp.float32)
-            em_r = emissive * emit_strength * cr
-            em_g = emissive * emit_strength * cg
-            em_b = emissive * emit_strength * cb
+            g["sample_r"] += jnp.where(
+                hit, emissive * emit_strength * cr * g["blend_r"], 0.0
+            )
+            g["sample_g"] += jnp.where(
+                hit, emissive * emit_strength * cg * g["blend_g"], 0.0
+            )
+            g["sample_b"] += jnp.where(
+                hit, emissive * emit_strength * cb * g["blend_b"], 0.0
+            )
 
             if bounce == 0:
-                first_node = jnp.where(hit, node, first_node)
-                first_nx = jnp.where(hit, nx, first_nx)
-                first_ny = jnp.where(hit, ny, first_ny)
-                first_nz = jnp.where(hit, nz, first_nz)
-                first_t = jnp.where(hit, t, first_t)
+                g["first_node"] = jnp.where(hit, node, g["first_node"])
+                g["first_nx"] = jnp.where(hit, nx, g["first_nx"])
+                g["first_ny"] = jnp.where(hit, ny, g["first_ny"])
+                g["first_nz"] = jnp.where(hit, nz, g["first_nz"])
+                g["first_t"] = jnp.where(hit, t, g["first_t"])
 
-            specular = noise(k0) < specularity
+            specular = noise(k0, q) < specularity
 
             # specular reflection
-            ddn = _dot3(nx, ny, nz, rdx, rdy, rdz)
+            ddn = _dot3(nx, ny, nz, g["rdx"], g["rdy"], g["rdz"])
             rfx, rfy, rfz = _norm_div3(
-                rdx - 2.0 * ddn * nx, rdy - 2.0 * ddn * ny, rdz - 2.0 * ddn * nz
+                g["rdx"] - 2.0 * ddn * nx,
+                g["rdy"] - 2.0 * ddn * ny,
+                g["rdz"] - 2.0 * ddn * nz,
             )
-            spec_dot = _dot3(rfx, rfy, rfz, nx, ny, nz)
+            g["spec_dot"] = _dot3(rfx, rfy, rfz, nx, ny, nz)
 
             # sun next-event estimation
-            rdax, rday, rdaz = noise(k0 + 1), noise(k0 + 2), noise(k0 + 3)
+            rdax = noise(k0 + 1, q)
+            rday = noise(k0 + 2, q)
+            rdaz = noise(k0 + 3, q)
             upx = rday * sdz - rdaz * sdy
             upy = rdaz * sdx - rdax * sdz
             upz = rdax * sdy - rday * sdx
@@ -1077,8 +1070,8 @@ def _make_kernel(
             riy = sdz * upx - sdx * upz
             riz = sdx * upy - sdy * upx
             rix, riy, riz = _norm_div3(rix, riy, riz)
-            ddx = 2.0 * noise(k0 + 4) - 1.0
-            ddy = 2.0 * noise(k0 + 5) - 1.0
+            ddx = 2.0 * noise(k0 + 4, q) - 1.0
+            ddy = 2.0 * noise(k0 + 5, q) - 1.0
             ldx = nsx + (ddx * rix + ddy * upx) * sun_size
             ldy = nsy + (ddx * riy + ddy * upy) * sun_size
             ldz = nsz + (ddx * riz + ddy * upz) * sun_size
@@ -1089,20 +1082,17 @@ def _make_kernel(
             # NEE elision: when the sun is behind the surface the
             # contribution is cos_term-clamped to zero regardless of
             # occlusion, so the shadow traversal is skipped exactly
-            # (voxels.comp:339-361 pays it unconditionally).  The
-            # traversal itself is deferred: it pairs with the next
-            # bounce's march (or the tail call after the loop).
+            # (voxels.comp:339-361 pays it unconditionally).
             cos_term = jnp.maximum(0.0, _dot3(nx, ny, nz, shx, shy, shz))
-            sun_on = sun_strength > 0.0
-            shadow_ray = (
+            g["s_ray"] = (
                 (sox, soy, soz),
                 (shx, shy, shz),
                 hit & (~specular) & sun_on & (cos_term > 0.0),
             )
 
             # hemisphere sample
-            phi = 2.0 * np.float32(np.pi) * noise(k0 + 6)
-            hxs = 2.0 * noise(k0 + 7) - 1.0
+            phi = 2.0 * np.float32(np.pi) * noise(k0 + 6, q)
+            hxs = 2.0 * noise(k0 + 7, q) - 1.0
             pr = jnp.sqrt(jnp.maximum(0.0, 1.0 - hxs * hxs))
             spx = hxs
             spy = pr * jnp.cos(phi)
@@ -1112,99 +1102,146 @@ def _make_kernel(
             hmx = spx - nx * flip
             hmy = spy - ny * flip
             hmz = spz - nz * flip
-            diff_dot = _dot3(nx, ny, nz, hmx, hmy, hmz)
+            g["diff_dot"] = _dot3(nx, ny, nz, hmx, hmy, hmz)
 
-            spec_sel = specular & hit
-            diff_sel = (~specular) & hit
+            g["hit"] = hit
+            g["spec_sel"] = specular & hit
+            g["diff_sel"] = (~specular) & hit
+            g["cos_term"] = cos_term
+            g["col_r"], g["col_g"], g["col_b"] = col_r, col_g, col_b
+            g["rf"] = (rfx, rfy, rfz)
+            g["hm"] = (hmx, hmy, hmz)
+            g["ambient"] += (g["diff_sel"] & sun_on).astype(jnp.float32)
 
-            sample_r += jnp.where(hit, em_r * blend_r, 0.0)
-            sample_g += jnp.where(hit, em_g * blend_g, 0.0)
-            sample_b += jnp.where(hit, em_b * blend_b, 0.0)
-            # sun contribution pends on the deferred occlusion result;
-            # blend/cos factors are captured NOW (pre-update blend)
-            pend = (
-                diff_sel & sun_on,
-                sun_col[0] * col_r * blend_r * cos_term,
-                sun_col[1] * col_g * blend_g * cos_term,
-                sun_col[2] * col_b * blend_b * cos_term,
-            )
-            ambient += (diff_sel & sun_on).astype(jnp.float32)
-
-            bf_spec = 2.0 * spec_dot
-            blend_r = jnp.where(
-                spec_sel,
-                blend_r * col_r * bf_spec,
-                jnp.where(diff_sel, blend_r * col_r * diff_dot, blend_r),
-            )
-            blend_g = jnp.where(
-                spec_sel,
-                blend_g * col_g * bf_spec,
-                jnp.where(diff_sel, blend_g * col_g * diff_dot, blend_g),
-            )
-            blend_b = jnp.where(
-                spec_sel,
-                blend_b * col_b * bf_spec,
-                jnp.where(diff_sel, blend_b * col_b * diff_dot, blend_b),
-            )
-
-            # miss shading (sun disk only on the primary ray)
-            miss = (alive == 1) & (~hit)
+            # miss sky color (sun disk only on the primary ray) uses
+            # the CURRENT ray direction -> computed here, applied in
+            # shade_light after the blend update (matching the
+            # original ordering: miss lanes never update blend)
             if bounce == 0:
-                # pow via exp/log (no vector pow in Mosaic); exponent
-                # is the sun-disk sharpness 1/sun_size^2
                 base = jnp.maximum(
-                    1e-38, _dot3(rdx, rdy, rdz, -nsx, -nsy, -nsz)
+                    1e-38,
+                    _dot3(g["rdx"], g["rdy"], g["rdz"], -nsx, -nsy, -nsz),
                 )
                 glow = jnp.exp(
-                    jnp.log(base) / jnp.maximum(sun_size * sun_size, 1e-12)
+                    jnp.log(base)
+                    / jnp.maximum(sun_size * sun_size, 1e-12)
                 )
-                sky_r = sky[0] + sun_col[0] * glow
-                sky_g = sky[1] + sun_col[1] * glow
-                sky_b = sky[2] + sun_col[2] * glow
+                g["sky"] = (
+                    sky[0] + sun_col[0] * glow,
+                    sky[1] + sun_col[1] * glow,
+                    sky[2] + sun_col[2] * glow,
+                )
             else:
-                sky_r = zf + sky[0]
-                sky_g = zf + sky[1]
-                sky_b = zf + sky[2]
-            sample_r += jnp.where(miss, sky_r * blend_r, 0.0)
-            sample_g += jnp.where(miss, sky_g * blend_g, 0.0)
-            sample_b += jnp.where(miss, sky_b * blend_b, 0.0)
+                g["sky"] = (zf + sky[0], zf + sky[1], zf + sky[2])
 
-            alive = alive * hit.astype(jnp.int32)
+        def shade_light(g, obst_i):
+            """Occlusion-gated sun add, blend update, miss shading,
+            next-ray selection."""
+            hit = g["hit"]
+            spec_sel, diff_sel = g["spec_sel"], g["diff_sel"]
+            col_r, col_g, col_b = g["col_r"], g["col_g"], g["col_b"]
+            sun_gate = diff_sel & (obst_i == 0) & sun_on
+            ct = g["cos_term"]
+            g["sample_r"] += jnp.where(
+                sun_gate, sun_col[0] * col_r * g["blend_r"] * ct, 0.0
+            )
+            g["sample_g"] += jnp.where(
+                sun_gate, sun_col[1] * col_g * g["blend_g"] * ct, 0.0
+            )
+            g["sample_b"] += jnp.where(
+                sun_gate, sun_col[2] * col_b * g["blend_b"] * ct, 0.0
+            )
+
+            bf_spec = 2.0 * g["spec_dot"]
+            dd = g["diff_dot"]
+            g["blend_r"] = jnp.where(
+                spec_sel,
+                g["blend_r"] * col_r * bf_spec,
+                jnp.where(diff_sel, g["blend_r"] * col_r * dd, g["blend_r"]),
+            )
+            g["blend_g"] = jnp.where(
+                spec_sel,
+                g["blend_g"] * col_g * bf_spec,
+                jnp.where(diff_sel, g["blend_g"] * col_g * dd, g["blend_g"]),
+            )
+            g["blend_b"] = jnp.where(
+                spec_sel,
+                g["blend_b"] * col_b * bf_spec,
+                jnp.where(diff_sel, g["blend_b"] * col_b * dd, g["blend_b"]),
+            )
+
+            miss = (g["alive"] == 1) & (~hit)
+            g["sample_r"] += jnp.where(miss, g["sky"][0] * g["blend_r"], 0.0)
+            g["sample_g"] += jnp.where(miss, g["sky"][1] * g["blend_g"], 0.0)
+            g["sample_b"] += jnp.where(miss, g["sky"][2] * g["blend_b"], 0.0)
+
+            g["alive"] = g["alive"] * hit.astype(jnp.int32)
 
             # next ray
-            rdx = jnp.where(spec_sel, rfx, jnp.where(diff_sel, hmx, rdx))
-            rdy = jnp.where(spec_sel, rfy, jnp.where(diff_sel, hmy, rdy))
-            rdz = jnp.where(spec_sel, rfz, jnp.where(diff_sel, hmz, rdz))
-            rox = jnp.where(hit, sox, rox)
-            roy = jnp.where(hit, soy, roy)
-            roz = jnp.where(hit, soz, roz)
+            rfx, rfy, rfz = g["rf"]
+            hmx, hmy, hmz = g["hm"]
+            g["rdx"] = jnp.where(
+                spec_sel, rfx, jnp.where(diff_sel, hmx, g["rdx"])
+            )
+            g["rdy"] = jnp.where(
+                spec_sel, rfy, jnp.where(diff_sel, hmy, g["rdy"])
+            )
+            g["rdz"] = jnp.where(
+                spec_sel, rfz, jnp.where(diff_sel, hmz, g["rdz"])
+            )
+            sox, soy, soz = g["s_ray"][0]
+            g["rox"] = jnp.where(hit, sox, g["rox"])
+            g["roy"] = jnp.where(hit, soy, g["roy"])
+            g["roz"] = jnp.where(hit, soz, g["roz"])
 
-        # tail: the last bounce's sun shadow ray, traced alone
-        obst_i, _, _, _, _, s_iters = traverse(
-            table_ref, meta_ref, brick_ref,
-            shadow_ray[0], shadow_ray[1], mask=shadow_ray[2],
-            fine_dma=fine_dma,
-        )
-        iter_counts.append(s_iters)
-        sample_r, sample_g, sample_b = apply_pend(
-            obst_i, sample_r, sample_g, sample_b
-        )
+        for bounce in range(max_bounces):
+            res0, res1, it_b = traverse_q2(
+                table_ref, meta_ref, brick_ref,
+                (
+                    (G[0]["rox"], G[0]["roy"], G[0]["roz"]),
+                    (G[0]["rdx"], G[0]["rdy"], G[0]["rdz"]),
+                    G[0]["alive"] == 1,
+                ),
+                (
+                    (G[1]["rox"], G[1]["roy"], G[1]["roz"]),
+                    (G[1]["rdx"], G[1]["rdy"], G[1]["rdz"]),
+                    G[1]["alive"] == 1,
+                ),
+                fine_dma=fine_dma,
+            )
+            iter_counts.append(it_b)
+            shade_hit(G[0], res0, bounce)
+            shade_hit(G[1], res1, bounce)
 
-        color_r_ref[:] = sample_r / ambient
-        color_g_ref[:] = sample_g / ambient
-        color_b_ref[:] = sample_b / ambient
-        normal_x_ref[:] = first_nx
-        normal_y_ref[:] = first_ny
-        normal_z_ref[:] = first_nz
-        depth_ref[:] = first_t
-        nodeid_ref[:] = first_node
-        emiss_first = (first_node & EMISSIVE_BIT) != 0
-        fr, fg, fb = node_rgb(first_node)
-        albedo_r_ref[:] = jnp.where(emiss_first, 1.0, fr)
-        albedo_g_ref[:] = jnp.where(emiss_first, 1.0, fg)
-        albedo_b_ref[:] = jnp.where(emiss_first, 1.0, fb)
-        # per-phase counters at lane (0, j): iters, L3 serve rounds,
-        # supercell serve rounds, fine-resolve serve rounds
+            sres0, sres1, it_s = traverse_q2(
+                table_ref, meta_ref, brick_ref,
+                G[0]["s_ray"], G[1]["s_ray"], fine_dma=fine_dma,
+            )
+            iter_counts.append(it_s)
+            shade_light(G[0], sres0[0])
+            shade_light(G[1], sres1[0])
+
+        for q in range(2):
+            g = G[q]
+            sl = slice(q * TILE_W, (q + 1) * TILE_W)
+            color_r_ref[:, sl] = g["sample_r"] / g["ambient"]
+            color_g_ref[:, sl] = g["sample_g"] / g["ambient"]
+            color_b_ref[:, sl] = g["sample_b"] / g["ambient"]
+            normal_x_ref[:, sl] = g["first_nx"]
+            normal_y_ref[:, sl] = g["first_ny"]
+            normal_z_ref[:, sl] = g["first_nz"]
+            depth_ref[:, sl] = g["first_t"]
+            nodeid_ref[:, sl] = g["first_node"]
+            emiss_first = (g["first_node"] & EMISSIVE_BIT) != 0
+            fr, fg, fb = node_rgb(g["first_node"])
+            albedo_r_ref[:, sl] = jnp.where(emiss_first, 1.0, fr)
+            albedo_g_ref[:, sl] = jnp.where(emiss_first, 1.0, fg)
+            albedo_b_ref[:, sl] = jnp.where(emiss_first, 1.0, fb)
+
+        # per-phase counters at lane (0, 6*c + k) of the group-0 block:
+        # phase k = [b0, s0, b1, s1, b2, s2] pairs, counter c: 0 outer
+        # iters, 1 meta rounds, 2 brick rounds, 3 fine-resolve rounds,
+        # 4 live-lane integral (each counts BOTH pixel groups' rays)
         dbg = zf
         for k, counters in enumerate(iter_counts):
             for c, ctr in enumerate(counters):
@@ -1213,7 +1250,8 @@ def _make_kernel(
                     ctr.astype(jnp.float32),
                     dbg,
                 )
-        debug_ref[:] = dbg
+        debug_ref[:, :TILE_W] = dbg
+        debug_ref[:, TILE_W:] = zf
 
     return kernel
 
@@ -1256,11 +1294,11 @@ def render_sample(
     ``noise_q`` is the tiny periodic quad table from
     :func:`noise_quads` — no full-image noise planes exist anywhere."""
     hp = _pad_to(height, BLOCK)
-    wp = _pad_to(width, BLOCK)
+    wp = _pad_to(width, 2 * BLOCK)  # paired: 2 pixel blocks / program
     nby, nbx = hp // BLOCK, wp // BLOCK
     P = 128 // BLOCK
 
-    grid = (nby, nbx)
+    grid = (nby, nbx // 2)
     kernel = _make_kernel(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         max_bounces=max_bounces, fine_in_hbm=fine_in_hbm,
@@ -1268,8 +1306,9 @@ def render_sample(
 
     plane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.float32)
     iplane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.int32)
+    # each program writes a (TILE_H, 2*TILE_W) block: two pixel groups
     tile_spec = pl.BlockSpec(
-        (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        (TILE_H, 2 * TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -1310,8 +1349,10 @@ def render_sample(
             full((2, b_rows, 128)),
             full((8, 128)),
             pl.BlockSpec(
-                (24, 1, 1, TILE_H, TILE_W),
-                lambda i, j: (0, i % P, j % P, 0, 0),
+                # both x-quadrants ride along: group q is [k, 0, q]
+                # (with BLOCK == 64, P == 2, block x-parity IS q)
+                (24, 1, 2, TILE_H, TILE_W),
+                lambda i, j: (0, i % P, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -1342,10 +1383,11 @@ def render_sample(
         "depth": crop(depth),
         "albedo": jnp.stack([crop(ar), crop(ag), crop(ab)], axis=-1),
         "node": crop(node),
-        # per-tile counters at lane (0, 6*c + k), phase k in 0..5,
+        # per-program counters at lane (0, 6*c + k) of the group-0
+        # half-block, phase k = paired [b0, s0, b1, s1, b2, s2],
         # counter c: 0 outer iters, 1 meta serve rounds, 2 brick serve
         # rounds, 3 fine-resolve serve rounds, 4 live-lane integral
-        "debug_iters": dbg[::TILE_H, :].reshape(nby, nbx, TILE_W)[
-            ..., :30
-        ].reshape(nby * nbx, 30),
+        "debug_iters": dbg[::TILE_H, :].reshape(
+            nby, nbx // 2, 2 * TILE_W
+        )[..., :30].reshape(nby * (nbx // 2), 30),
     }
