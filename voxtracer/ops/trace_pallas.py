@@ -79,6 +79,10 @@ UNROLL = int(_os.environ.get("VOX_UNROLL", 1))  # DDA steps/while round
 # ONE min-reduce, before adaptive straggler rounds (see _serve_loop).
 # Swept: 1 best (55.9 ms menger 720p vs 59.1 at 2, 66+ pure-adaptive).
 LADDER = int(_os.environ.get("VOX_LADDER", 1))
+# Pair each program's second pixel block from the far image half
+# (decorrelates paired traversal lengths) instead of the adjacent
+# block (better serve locality).  Measured on menger; see commit log.
+FARPAIR = _os.environ.get("VOX_FARPAIR", "0") == "1"
 # Lanes cover a square BLOCK x BLOCK pixel region per program (better
 # 3-D locality for the serve loop than a raw TILE_H x TILE_W image
 # strip: ~2.5x fewer serve iterations on menger).  The image<->lane
@@ -895,7 +899,7 @@ def _make_traverse(
 
 def _make_kernel(
     dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
-    max_bounces=MAX_BOUNCES, fine_in_hbm=False,
+    max_bounces=MAX_BOUNCES, fine_in_hbm=False, nbx2=1,
 ):
     traverse, traverse_q2 = _make_traverse(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
@@ -958,6 +962,10 @@ def _make_kernel(
         sun_on = sun_strength > 0.0
 
         def noise(k, q):
+            if FARPAIR:
+                # x-parity of group q's pixel block (dynamic scalar)
+                par = (tj + q * nbx2) % 2
+                return noise_ref[k, 0, par, :, :]
             return noise_ref[k, 0, q, :, :]
 
         def slot_color(slot_vals):
@@ -978,9 +986,12 @@ def _make_kernel(
         # recovering the measured 90%+ divergence-tail waste.
         G = []
         for q in range(2):
-            px = ((tj * 2 + q) * BLOCK + (lane % BLOCK)).astype(
-                jnp.float32
-            )
+            if FARPAIR:
+                # group q block: tj (q=0) / tj + nbx2 (q=1)
+                bj = tj + q * nbx2
+            else:
+                bj = tj * 2 + q
+            px = (bj * BLOCK + (lane % BLOCK)).astype(jnp.float32)
             py = (ti * BLOCK + (lane // BLOCK)).astype(jnp.float32) + P(30)
             rdx = px * right[0] - py * up[0] + fwd[0]
             rdy = px * right[1] - py * up[1] + fwd[1]
@@ -1302,6 +1313,7 @@ def render_sample(
     kernel = _make_kernel(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         max_bounces=max_bounces, fine_in_hbm=fine_in_hbm,
+        nbx2=nbx // 2,
     )
 
     plane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.float32)
@@ -1368,6 +1380,13 @@ def render_sample(
 
     def crop(a):
         # invert the square-block lane layout back to image space
+        if FARPAIR:
+            # program j wrote pixel blocks (j, j+nbx/2) into the
+            # adjacent block-column pair (2j, 2j+1): un-interleave
+            b = a.reshape(nby, TILE_H, nbx // 2, 2, TILE_W)
+            a = jnp.concatenate(
+                [b[:, :, :, 0, :], b[:, :, :, 1, :]], axis=2
+            ).reshape(nby * TILE_H, nbx * TILE_W)
         img = (
             a.reshape(nby, TILE_H, nbx, TILE_W)
             .transpose(0, 2, 1, 3)  # (i, j, r, c)
