@@ -706,80 +706,16 @@ def _make_traverse(
     def traverse(
         table_ref, meta_ref, brick_ref, o3, d3, mask=None, fine_dma=None
     ):
-        """Returns (hit i32, t, slot i32, fused, normal tuple, counters).
-
-        ``mask`` (bool) gates which lanes traverse at all — dead paths
-        and missed parents skip the march entirely.
-        """
-        ray, cx, cy, cz, t0, active0 = ray_setup(o3, d3, mask)
-        one_step = make_step(meta_ref, brick_ref)
-        zero_i = jnp.zeros_like(cx)
-        zero_f = jnp.zeros_like(t0)
-
-        def cond(s):
-            it, active = s[0], s[4]
-            return jnp.logical_and(it < MAX_OUTER_ITERS, jnp.max(active) > 0)
-
-        def body(s):
-            rest = s[1:]
-            for _ in range(UNROLL):
-                rest = one_step(ray, *rest)
-            return (s[0] + UNROLL,) + rest
-
-        state = (
-            np.int32(0),
-            np.int32(0),  # meta serve-round counter (instrumentation)
-            np.int32(0),  # brick serve-round counter (instrumentation)
-            np.int32(0),  # live-lane integral (instrumentation)
-            active0,
-            cx,
-            cy,
-            cz,
-            t0,
-            zero_i - 1,  # cached meta word address
-            zero_i,  # meta word
-            zero_i - 1,  # cached brick address
-            zero_i,  # fine-mask lo word
-            zero_i,  # fine-mask hi word
-            zero_i,  # captured hit uniform slot
-            zero_i,  # hit mask
-            zero_f,
-            zero_i,
-            zero_i,
-            zero_i,
+        """Single-ray march — the two-ray queue with a dead second
+        slot (identical per-ray semantics; kept for probes and
+        shadow-only callers).  Returns
+        (hit i32, t, slot i32, fused, normal tuple, counters)."""
+        dead = jnp.zeros_like(o3[0], dtype=bool)
+        res, _, counters = traverse_q2(
+            table_ref, meta_ref, brick_ref,
+            (o3, d3, mask), (o3, d3, dead), fine_dma=fine_dma,
         )
-        out = jax.lax.while_loop(cond, body, state)
-        (
-            n_iters,
-            n_serves,
-            n_act,
-            n_live,
-            active,
-            cx,
-            cy,
-            cz,
-            t,
-            _,
-            _,
-            _,
-            _,
-            _,
-            hslot_u,
-            hit,
-            hit_t,
-            hcx,
-            hcy,
-            hcz,
-        ) = out
-
-        hit, hit_t, hslot, fused, nrm, n_fine = finish(
-            table_ref, ray, active == 1, (cx, cy, cz, t),
-            (hslot_u, hit, hit_t, hcx, hcy, hcz), fine_dma,
-        )
-        return (
-            hit, hit_t, hslot, fused, nrm,
-            (n_iters, n_serves, n_act, n_fine, n_live),
-        )
+        return res + (counters,)
 
     def traverse_q2(
         table_ref, meta_ref, brick_ref, ray_a, ray_b, fine_dma=None
