@@ -186,11 +186,17 @@ def config4_monu9_full(quick=False):
     gM = jnp.asarray(out["node"])
 
     def _t(fn, *args, n=5):
-        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
+        def sync(res):
+            # 4-byte scalar sync — a full-image np.asarray would bill
+            # the axon tunnel's ~145 MB/s to the stage (see _sync)
+            leaf = jax.tree_util.tree_leaves(res)[0]
+            return float(np.asarray(jnp.sum(leaf.astype(jnp.float32))))
+
+        sync(fn(*args))
         t0 = time.perf_counter()
         for _ in range(n):
             res = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(res)[0])
+        sync(res)
         return (time.perf_counter() - t0) / n
 
     # time the denoiser the pipeline actually selected for this device
