@@ -79,6 +79,7 @@ UNROLL = int(_os.environ.get("VOX_UNROLL", 1))  # DDA steps/while round
 # ONE min-reduce, before adaptive straggler rounds (see _serve_loop).
 # Swept: 1 best (55.9 ms menger 720p vs 59.1 at 2, 66+ pure-adaptive).
 LADDER = int(_os.environ.get("VOX_LADDER", 1))
+BLADDER = int(_os.environ.get("VOX_BLADDER", LADDER))  # brick-table ladder
 # Pair each program's second pixel block from the far image half
 # (decorrelates paired traversal lengths) instead of the adjacent
 # block (better serve locality).  Measured on menger; see commit log.
@@ -364,7 +365,7 @@ def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
     needf0 = (need_i == 1) & (waddr != cached)
     r_min = jnp.min(jnp.where(needf0, rows, BIG_I32))
     r0 = jnp.clip(r_min, 0, n_rows_ - win)
-    for k in range(min(LADDER, -(-n_rows_ // win))):
+    for k in range(min(BLADDER, -(-n_rows_ // win))):
         lo, hi, cached = sweep(
             lo, hi, cached, jnp.minimum(r0 + k * win, n_rows_ - win)
         )
@@ -415,6 +416,8 @@ def _make_traverse(
     QX, QY, QZ = (int(d) for d in l3_dims)
     QZW2 = -(-QZ // 2)
     assert Z < 32768, f"z extent {Z} exceeds the _div3 exact range"
+    # 15-bit cell coordinates (packed banked records in traverse_q2)
+    assert X < 32768 and Y < 32768, f"extent {X}x{Y} exceeds 15 bits"
     PY4 = -(-Y // 4)
     QY4 = -(-QY // 4)
     oxi, oyi, ozi = (int(o) for o in origin)
@@ -462,14 +465,12 @@ def _make_traverse(
         cy = jnp.clip(cell_from_float(oy_, dy, t0, float(oyi)), 0, Y - 1)
         cz = jnp.clip(cell_from_float(oz_, dz, t0, float(ozi)), 0, Z - 1)
 
-        sx = jnp.sign(dx).astype(jnp.int32)
-        sy = jnp.sign(dy).astype(jnp.int32)
-        sz = jnp.sign(dz).astype(jnp.int32)
-
         if mask is not None:
             intersects = intersects & mask
         active0 = intersects.astype(jnp.int32)
-        ray = (ox_, oy_, oz_, dx, dy, dz, invx, invy, invz, sx, sy, sz)
+        # step signs are derived per-iteration from d (3 cheap ops)
+        # rather than carried: 3 fewer loop-state planes
+        ray = (ox_, oy_, oz_, dx, dy, dz, invx, invy, invz)
         return ray, cx, cy, cz, t0, active0
 
     def make_step(meta_ref, brick_ref):
@@ -484,9 +485,10 @@ def _make_traverse(
             m_cached, m_word, b_cached, b_lo, b_hi, hslot_u,
             hit, hit_t, hcx, hcy, hcz,
         ):
-            (
-                ox_, oy_, oz_, dx, dy, dz, invx, invy, invz, sx, sy, sz,
-            ) = ray
+            (ox_, oy_, oz_, dx, dy, dz, invx, invy, invz) = ray
+            sx = jnp.sign(dx).astype(jnp.int32)
+            sy = jnp.sign(dy).astype(jnp.int32)
+            sz = jnp.sign(dz).astype(jnp.int32)
             # live-lane integral: Σ_steps (active lanes) — utilization
             # diagnostics for compaction headroom (read via debug_iters)
             nlive = nlive + jnp.sum(active)
@@ -743,13 +745,33 @@ def _make_traverse(
         zero_f = jnp.zeros_like(t0A)
         rec_zero = (zero_i, zero_i, zero_f, zero_i, zero_i, zero_i)
 
+        # banked ray-A records travel packed: (hcx|hcy, hcz|slot|hit,
+        # hit_t) — 3 loop-state planes instead of 6 (spill pressure)
+        def pack_recs(recs):
+            hslot_u, hit, hit_t, hcx, hcy, hcz = recs
+            p1 = hcx | (hcy << 15)
+            p2 = hcz | (hslot_u << 15) | (hit << 25)
+            return (p1, p2, hit_t)
+
+        def unpack_recs(p):
+            p1, p2, hit_t = p
+            return (
+                (p2 >> 15) & 0x3FF,  # hslot_u
+                (p2 >> 25) & 1,  # hit
+                hit_t,
+                p1 & 0x7FFF,  # hcx
+                (p1 >> 15) & 0x7FFF,  # hcy
+                p2 & 0x7FFF,  # hcz
+            )
+
         def swap(qidx, ray, trav, recs, savedA):
             """Lanes whose current ray A just finished: bank A's hit
-            records and load ray B's init state."""
+            records (packed) and load ray B's init state."""
             active, cx, cy, cz, t = trav
             doneA = (qidx == 0) & (active == 0)
             savedA = tuple(
-                jnp.where(doneA, c, o) for c, o in zip(recs, savedA)
+                jnp.where(doneA, c, o)
+                for c, o in zip(pack_recs(recs), savedA)
             )
             ray = tuple(jnp.where(doneA, b, c) for b, c in zip(rayB, ray))
             trav = (
@@ -767,24 +789,25 @@ def _make_traverse(
 
         # lanes whose ray A is dead on arrival start directly on B
         qidx0, ray0, trav0, recs0, savedA0 = swap(
-            zero_i, rayA, (a0A, cxA, cyA, czA, t0A), rec_zero, rec_zero
+            zero_i, rayA, (a0A, cxA, cyA, czA, t0A), rec_zero,
+            (zero_i, zero_i, zero_f),
         )
         mst0 = (zero_i - 1, zero_i, zero_i - 1, zero_i, zero_i)
 
         def cond(s):
             return jnp.logical_and(
-                s[0] < MAX_OUTER_ITERS, jnp.max(s[17]) > 0
+                s[0] < MAX_OUTER_ITERS, jnp.max(s[14]) > 0
             )
 
         def body(s):
             it = s[0]
             nserv, nact, nlive = s[1:4]
             qidx = s[4]
-            ray = s[5:17]
-            trav = s[17:22]
-            mst = s[22:27]
-            recs = s[27:33]
-            savedA = s[33:39]
+            ray = s[5:14]
+            trav = s[14:19]
+            mst = s[19:24]
+            recs = s[24:30]
+            savedA = s[30:33]
             out = one_step(ray, nserv, nact, nlive, *trav, *mst, *recs)
             nserv, nact, nlive = out[0:3]
             trav = out[3:8]
@@ -805,10 +828,10 @@ def _make_traverse(
         out = jax.lax.while_loop(cond, body, state)
         n_iters, n_serves, n_act = out[0], out[1], out[2]
         n_live, qidx = out[3], out[4]
-        active = out[17]
-        cur = (out[18], out[19], out[20], out[21])  # cx, cy, cz, t
-        recs = out[27:33]
-        savedA = out[33:39]
+        active = out[14]
+        cur = (out[15], out[16], out[17], out[18])  # cx, cy, cz, t
+        recs = out[24:30]
+        savedA = unpack_recs(out[30:33])
 
         curA = qidx == 0
         recsA = tuple(
