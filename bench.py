@@ -21,8 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 WIDTH, HEIGHT = 1280, 720
-WARMUP = 2
-FRAMES = 6
+WARMUP = 3
+FRAMES = 12
 NORTH_STAR_FPS = 30.0
 
 

@@ -4,31 +4,38 @@ Same observable semantics as :mod:`voxtracer.oracle.renderer` /
 :mod:`voxtracer.ops.trace_xla` (which mirror ``shaders/voxels.comp``),
 engineered for what the TPU vector core actually supports:
 
-  * Rays are tiled into 64x64 pixel blocks (square blocks measured
-    ~2.5x fewer serve iterations than 32x128 image strips); each grid
-    program path traces its whole tile (3 bounces + sun shadow rays)
-    with all state in (32, 128) register planes — the TPU analog of the
-    reference's 16x16 GPU workgroups (``voxels.comp:15``).
-  * The scene lives in VMEM as a palette-index grid, 3 consecutive-z
-    10-bit indices packed per int32 word (``GridScene.device_tables``).
-    One fetched word answers occupancy for 3 cells, at a hit its index
-    *is* the color lookup, and empty cells carry a baked chebyshev
-    jump distance — no separate value fetch, no second structure.
+  * Each grid program owns TWO adjacent 64x64 pixel blocks and path
+    traces them together (3 bounces + sun shadow rays) with all state
+    in (32, 128) register planes — the TPU analog of the reference's
+    16x16 GPU workgroups (``voxels.comp:15``).  Every traversal phase
+    runs as a two-ray-per-lane queue (``traverse_q2``) pairing the two
+    blocks' rays: a lane whose ray finishes swaps in its second ray
+    instead of idling, so the while-trip count approaches max+mean
+    over lanes instead of 2*max (divergent phases measured 4-10% lane
+    utilization unpaired).
+  * The scene is three tables: a 16-bit-per-node META march table
+    (occupied: uniform palette slot; empty: chebyshev node distance —
+    the octree's multi-level pop, ``voxels.comp:191-221``), split
+    lo/hi BRICK tables holding each 4x4x4 node's 64-bit fine mask
+    (marched in registers by an unrolled micro-DDA), and the packed
+    10-bit-palette-index FINE table consulted once per traversal at
+    mixed-node hits (HBM-resident with DMA'd windows for scenes past
+    the VMEM budget).
   * Per-lane random access is the TPU's weak spot: the only fast
     primitive is a cross-lane ``dynamic_gather`` within 128-word rows.
-    Word fetches therefore run through a coherence-adaptive "row serve"
-    loop: each iteration min-reduces the pending row indices, slices
-    that row from the table (scalar dynamic slice), broadcasts it and
-    gathers per-lane columns; lanes waiting on other rows simply retry
-    next iteration.  Coherent rays (primary, shadow) need ~1-2 serves
-    per step; divergent bounce rays degrade gracefully.
-  * Palette resolution is a flat gather over a (8, 128) table: 8
-    broadcast+gather+select rounds.
+    Word fetches run through "row serve" sweeps: one min-reduce of the
+    pending row indices feeds a LADDER of static-offset windows
+    (broadcast each row + within-row gather), with an adaptive while
+    loop for rare stragglers.  Coherent rays need ~1 sweep per step;
+    divergent bounce rays degrade gracefully.
+  * Palette resolution is a flat gather over a (8, 128) table.
 
-Mosaic restrictions honored here (probed empirically, see repo notes):
-``dynamic_gather`` rows must be exactly 128 wide; bool loop carries
-must not be updated in the body (int32 0/1 masks instead); scalar
-dynamic-slice indices may come from vector reductions.
+Mosaic restrictions honored here (probed empirically, see repo notes
+and docs/BASELINE_RESULTS.md "dead ends"): ``dynamic_gather`` rows
+must be exactly 128 wide; bool loop carries must not be updated in the
+body (int32 0/1 masks instead); scalar dynamic-slice indices may come
+from vector reductions but each such handoff stalls ~350 cycles; a 2D
+gather does NOT decompose into a row-select tree + column gather.
 """
 
 from __future__ import annotations
