@@ -116,6 +116,28 @@ def test_pallas_hbm_fine_table_matches_oracle():
     _compare(scene, cam, fine_in_hbm=True)
 
 
+def test_pallas_multi_program_pairing_geometry():
+    """A 256-wide image spans TWO paired grid programs (4 pixel
+    blocks): result placement across the block-pair unscramble must
+    still match the oracle pixel-for-pixel."""
+    rng = np.random.default_rng(21)
+    n = 64
+    pos = rng.integers(-20, 21, (n, 3)).astype(np.int16)
+    mrgb = np.concatenate(
+        [
+            np.zeros((n, 1), np.uint8),
+            rng.integers(30, 255, (n, 3)).astype(np.uint8),
+        ],
+        axis=1,
+    )
+    scene = GridScene.from_voxels(VoxelList(pos=pos, mrgb=mrgb))
+    cam = Camera(
+        position=np.array([1.0, 2.0, -30.0]),
+        direction=np.array([-0.02, -0.05, 1.0]),
+    )
+    _compare(scene, cam, w=256, h=64, seed=13)
+
+
 def test_pallas_sparse_scene_distance_field_jumps():
     """Sparse 64^3-class scene: long empty runs force multi-block
     distance-field jumps (the old bitmap skipped one block at a time);
