@@ -91,6 +91,12 @@ BLADDER = int(_os.environ.get("VOX_BLADDER", LADDER))  # brick-table ladder
 # (decorrelates paired traversal lengths) instead of the adjacent
 # block (better serve locality).  Measured on menger; see commit log.
 FARPAIR = _os.environ.get("VOX_FARPAIR", "0") == "1"
+# Cap on pixel blocks per grid program (rays queued per lane per
+# phase).  More queued rays amortize the SIMD divergence tail toward
+# mean ray length: menger 720p measured 49.1/48.0/42.8/37.8/35.3 ms
+# at Q=2/3/4/10/20.  render_sample picks the largest Q <= cap whose
+# padding stays small for the image width.
+Q_BLOCKS = int(_os.environ.get("VOX_QBLOCKS", 20))
 # Lanes cover a square BLOCK x BLOCK pixel region per program (better
 # 3-D locality for the serve loop than a raw TILE_H x TILE_W image
 # strip: ~2.5x fewer serve iterations on menger).  The image<->lane
@@ -715,45 +721,46 @@ def _make_traverse(
     def traverse(
         table_ref, meta_ref, brick_ref, o3, d3, mask=None, fine_dma=None
     ):
-        """Single-ray march — the two-ray queue with a dead second
-        slot (identical per-ray semantics; kept for probes and
-        shadow-only callers).  Returns
+        """Single-ray march — the ray queue with a dead second slot
+        (identical per-ray semantics; kept for probes and shadow-only
+        callers).  Returns
         (hit i32, t, slot i32, fused, normal tuple, counters)."""
         dead = jnp.zeros_like(o3[0], dtype=bool)
-        res, _, counters = traverse_q2(
+        res, counters = traverse_qn(
             table_ref, meta_ref, brick_ref,
-            (o3, d3, mask), (o3, d3, dead), fine_dma=fine_dma,
+            [(o3, d3, mask), (o3, d3, dead)], fine_dma=fine_dma,
         )
-        return res + (counters,)
+        return res[0] + (counters,)
 
-    def traverse_q2(
-        table_ref, meta_ref, brick_ref, ray_a, ray_b, fine_dma=None
+    def traverse_qn(
+        table_ref, meta_ref, brick_ref, rays, fine_dma=None
     ):
-        """Two rays per lane, traced SEQUENTIALLY in one while loop.
+        """N rays per lane, traced SEQUENTIALLY in one while loop.
 
-        ``ray_a`` / ``ray_b``: (o3, d3, mask) batches.  Each lane
-        marches ray A to completion, then swaps ray B's precomputed
-        init state into its registers and continues — so the tile's
-        while-trip count is max(len_a + len_b) over lanes instead of
-        max(len_a) + max(len_b), converting the SIMD divergence tail
-        (measured 4-10% lane utilization on bounce phases) into useful
-        work.  The meta/brick caches survive the swap (addresses are
-        global).  Returns (res_a, res_b, counters), each res =
-        (hit, t, slot, fused, normals).
+        ``rays``: list of (o3, d3, mask) batches.  Each lane marches
+        ray 0 to completion, banks its hit records (packed into 3
+        planes), swaps ray 1's precomputed init state into its
+        registers, and so on — the tile's while-trip count approaches
+        max over lanes of the SUM of its ray lengths instead of the
+        sum of per-ray maxima, converting the SIMD divergence tail
+        (measured 4-10% lane utilization on unpaired bounce phases)
+        into useful work.  The meta/brick word caches survive swaps
+        (addresses are global).  Returns (results, counters):
+        results[r] = (hit, t, slot, fused, normals) for ray r.
 
         Cap edge: if the combined march hits MAX_OUTER_ITERS (far
-        beyond any real scene; per-ray fuse would need >2048 steps),
-        a lane still on ray A reports A fused-at-current-cell and B
-        as a miss."""
-        rayA, cxA, cyA, czA, t0A, a0A = ray_setup(*ray_a)
-        rayB, cxB, cyB, czB, t0B, a0B = ray_setup(*ray_b)
+        beyond any real scene; the reference's per-ray fuse needs
+        >2048 steps), the lane's current ray reports fused at its
+        current cell and not-yet-run rays report misses."""
+        N = len(rays)
+        setups = [ray_setup(*r) for r in rays]
         one_step = make_step(meta_ref, brick_ref)
-        zero_i = jnp.zeros_like(cxA)
-        zero_f = jnp.zeros_like(t0A)
+        zero_i = jnp.zeros_like(setups[0][1])
+        zero_f = jnp.zeros_like(setups[0][4])
         rec_zero = (zero_i, zero_i, zero_f, zero_i, zero_i, zero_i)
 
-        # banked ray-A records travel packed: (hcx|hcy, hcz|slot|hit,
-        # hit_t) — 3 loop-state planes instead of 6 (spill pressure)
+        # banked records travel packed: (hcx|hcy, hcz|slot|hit, hit_t)
+        # — 3 loop-state planes per banked ray instead of 6
         def pack_recs(recs):
             hslot_u, hit, hit_t, hcx, hcy, hcz = recs
             p1 = hcx | (hcy << 15)
@@ -771,36 +778,52 @@ def _make_traverse(
                 p2 & 0x7FFF,  # hcz
             )
 
-        def swap(qidx, ray, trav, recs, savedA):
-            """Lanes whose current ray A just finished: bank A's hit
-            records (packed) and load ray B's init state."""
-            active, cx, cy, cz, t = trav
-            doneA = (qidx == 0) & (active == 0)
-            savedA = tuple(
-                jnp.where(doneA, c, o)
-                for c, o in zip(pack_recs(recs), savedA)
-            )
-            ray = tuple(jnp.where(doneA, b, c) for b, c in zip(rayB, ray))
-            trav = (
-                jnp.where(doneA, a0B, active),
-                jnp.where(doneA, cxB, cx),
-                jnp.where(doneA, cyB, cy),
-                jnp.where(doneA, czB, cz),
-                jnp.where(doneA, t0B, t),
-            )
+        def swap(qidx, ray, trav, recs, saved):
+            """Lanes whose current ray just finished: bank its records
+            and load the next ray's init state."""
+            active = trav[0]
+            done = (active == 0) & (qidx < N - 1)
+            packed = pack_recs(recs)
+            saved = list(saved)
+            for r in range(N - 1):
+                m = done & (qidx == r)
+                for i in range(3):
+                    saved[3 * r + i] = jnp.where(
+                        m, packed[i], saved[3 * r + i]
+                    )
+            for r in range(1, N):
+                m = done & (qidx == r - 1)
+                rayR, cxR, cyR, czR, t0R, a0R = setups[r]
+                ray = tuple(
+                    jnp.where(m, b, c) for b, c in zip(rayR, ray)
+                )
+                trav = (
+                    jnp.where(m, a0R, trav[0]),
+                    jnp.where(m, cxR, trav[1]),
+                    jnp.where(m, cyR, trav[2]),
+                    jnp.where(m, czR, trav[3]),
+                    jnp.where(m, t0R, trav[4]),
+                )
             recs = tuple(
-                jnp.where(doneA, z, c) for z, c in zip(rec_zero, recs)
+                jnp.where(done, z, c) for z, c in zip(rec_zero, recs)
             )
-            qidx = jnp.where(doneA, 1, qidx)
-            return qidx, ray, trav, recs, savedA
+            qidx = qidx + done.astype(jnp.int32)
+            return qidx, ray, trav, recs, tuple(saved)
 
-        # lanes whose ray A is dead on arrival start directly on B
-        qidx0, ray0, trav0, recs0, savedA0 = swap(
-            zero_i, rayA, (a0A, cxA, cyA, czA, t0A), rec_zero,
-            (zero_i, zero_i, zero_f),
-        )
+        # lanes with dead leading rays start further down the queue
+        ray0 = setups[0][0]
+        trav0 = (setups[0][5],) + tuple(setups[0][1:5])
+        qidx0 = zero_i
+        recs0 = rec_zero
+        saved0 = tuple([zero_i, zero_i, zero_f] * (N - 1))
+        for _ in range(N - 1):
+            qidx0, ray0, trav0, recs0, saved0 = swap(
+                qidx0, ray0, trav0, recs0, saved0
+            )
         mst0 = (zero_i - 1, zero_i, zero_i - 1, zero_i, zero_i)
 
+        # state layout: it | counters(3) | qidx | ray(9) | trav(5) |
+        #               mst(5) | recs(6) | saved(3*(N-1))
         def cond(s):
             return jnp.logical_and(
                 s[0] < MAX_OUTER_ITERS, jnp.max(s[14]) > 0
@@ -814,23 +837,23 @@ def _make_traverse(
             trav = s[14:19]
             mst = s[19:24]
             recs = s[24:30]
-            savedA = s[30:33]
+            saved = s[30 : 30 + 3 * (N - 1)]
             out = one_step(ray, nserv, nact, nlive, *trav, *mst, *recs)
             nserv, nact, nlive = out[0:3]
             trav = out[3:8]
             mst = out[8:13]
             recs = out[13:19]
-            qidx, ray, trav, recs, savedA = swap(
-                qidx, ray, trav, recs, savedA
+            qidx, ray, trav, recs, saved = swap(
+                qidx, ray, trav, recs, saved
             )
             return (
                 (it + 1, nserv, nact, nlive, qidx)
-                + ray + trav + mst + recs + savedA
+                + ray + trav + mst + recs + saved
             )
 
         state = (
             (np.int32(0), np.int32(0), np.int32(0), np.int32(0), qidx0)
-            + ray0 + trav0 + mst0 + recs0 + savedA0
+            + ray0 + trav0 + mst0 + recs0 + saved0
         )
         out = jax.lax.while_loop(cond, body, state)
         n_iters, n_serves, n_act = out[0], out[1], out[2]
@@ -838,39 +861,45 @@ def _make_traverse(
         active = out[14]
         cur = (out[15], out[16], out[17], out[18])  # cx, cy, cz, t
         recs = out[24:30]
-        savedA = unpack_recs(out[30:33])
+        saved = out[30 : 30 + 3 * (N - 1)]
 
-        curA = qidx == 0
-        recsA = tuple(
-            jnp.where(curA, c, sa) for c, sa in zip(recs, savedA)
-        )
-        recsB = tuple(
-            jnp.where(curA, z, c) for z, c in zip(rec_zero, recs)
-        )
-        hitA, tA, slotA, fusedA, nrmA, nfA = finish(
-            table_ref, rayA, curA & (active == 1), cur, recsA, fine_dma
-        )
-        hitB, tB, slotB, fusedB, nrmB, nfB = finish(
-            table_ref, rayB, (~curA) & (active == 1), cur, recsB, fine_dma
-        )
-        counters = (n_iters, n_serves, n_act, nfA + nfB, n_live)
-        return (
-            (hitA, tA, slotA, fusedA, nrmA),
-            (hitB, tB, slotB, fusedB, nrmB),
-            counters,
-        )
+        results = []
+        n_fine = np.int32(0)
+        for r in range(N):
+            cur_r = qidx == r
+            if r < N - 1:
+                banked = unpack_recs(saved[3 * r : 3 * r + 3])
+                recs_r = tuple(
+                    jnp.where(qidx > r, b, jnp.where(cur_r, c, z))
+                    for b, c, z in zip(banked, recs, rec_zero)
+                )
+            else:
+                recs_r = tuple(
+                    jnp.where(cur_r, c, z)
+                    for c, z in zip(recs, rec_zero)
+                )
+            hit, t, slot, fused, nrm, nf = finish(
+                table_ref, setups[r][0], cur_r & (active == 1), cur,
+                recs_r, fine_dma,
+            )
+            n_fine = n_fine + nf
+            results.append((hit, t, slot, fused, nrm))
+        counters = (n_iters, n_serves, n_act, n_fine, n_live)
+        return results, counters
 
-    return traverse, traverse_q2
+    return traverse, traverse_qn
 
 
 def _make_kernel(
     dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
-    max_bounces=MAX_BOUNCES, fine_in_hbm=False, nbx2=1,
+    max_bounces=MAX_BOUNCES, fine_in_hbm=False, nbx2=1, q_blocks=2,
 ):
-    traverse, traverse_q2 = _make_traverse(
+    traverse, traverse_qn = _make_traverse(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         fine_in_hbm=fine_in_hbm,
     )
+
+    assert not (FARPAIR and q_blocks != 2), "VOX_FARPAIR needs Q=2"
 
     def kernel(
         params_ref,  # (1, PARAMS_LEN) f32 SMEM
@@ -928,11 +957,12 @@ def _make_kernel(
         sun_on = sun_strength > 0.0
 
         def noise(k, q):
+            # x-parity of group q's pixel block (dynamic scalar)
             if FARPAIR:
-                # x-parity of group q's pixel block (dynamic scalar)
                 par = (tj + q * nbx2) % 2
-                return noise_ref[k, 0, par, :, :]
-            return noise_ref[k, 0, q, :, :]
+            else:
+                par = (tj * q_blocks + q) % 2
+            return noise_ref[k, 0, par, :, :]
 
         def slot_color(slot_vals):
             node = _flat_gather_1024(palette_ref[:, :], slot_vals)
@@ -951,12 +981,12 @@ def _make_kernel(
         # make the merged trip count ~max+mean instead of 2*max,
         # recovering the measured 90%+ divergence-tail waste.
         G = []
-        for q in range(2):
+        for q in range(q_blocks):
             if FARPAIR:
                 # group q block: tj (q=0) / tj + nbx2 (q=1)
                 bj = tj + q * nbx2
             else:
-                bj = tj * 2 + q
+                bj = tj * q_blocks + q
             px = (bj * BLOCK + (lane % BLOCK)).astype(jnp.float32)
             py = (ti * BLOCK + (lane // BLOCK)).astype(jnp.float32) + P(30)
             rdx = px * right[0] - py * up[0] + fwd[0]
@@ -1172,33 +1202,31 @@ def _make_kernel(
             g["roz"] = jnp.where(hit, soz, g["roz"])
 
         for bounce in range(max_bounces):
-            res0, res1, it_b = traverse_q2(
+            results, it_b = traverse_qn(
                 table_ref, meta_ref, brick_ref,
-                (
-                    (G[0]["rox"], G[0]["roy"], G[0]["roz"]),
-                    (G[0]["rdx"], G[0]["rdy"], G[0]["rdz"]),
-                    G[0]["alive"] == 1,
-                ),
-                (
-                    (G[1]["rox"], G[1]["roy"], G[1]["roz"]),
-                    (G[1]["rdx"], G[1]["rdy"], G[1]["rdz"]),
-                    G[1]["alive"] == 1,
-                ),
+                [
+                    (
+                        (g["rox"], g["roy"], g["roz"]),
+                        (g["rdx"], g["rdy"], g["rdz"]),
+                        g["alive"] == 1,
+                    )
+                    for g in G
+                ],
                 fine_dma=fine_dma,
             )
             iter_counts.append(it_b)
-            shade_hit(G[0], res0, bounce)
-            shade_hit(G[1], res1, bounce)
+            for g, res in zip(G, results):
+                shade_hit(g, res, bounce)
 
-            sres0, sres1, it_s = traverse_q2(
+            sresults, it_s = traverse_qn(
                 table_ref, meta_ref, brick_ref,
-                G[0]["s_ray"], G[1]["s_ray"], fine_dma=fine_dma,
+                [g["s_ray"] for g in G], fine_dma=fine_dma,
             )
             iter_counts.append(it_s)
-            shade_light(G[0], sres0[0])
-            shade_light(G[1], sres1[0])
+            for g, sres in zip(G, sresults):
+                shade_light(g, sres[0])
 
-        for q in range(2):
+        for q in range(q_blocks):
             g = G[q]
             sl = slice(q * TILE_W, (q + 1) * TILE_W)
             color_r_ref[:, sl] = g["sample_r"] / g["ambient"]
@@ -1228,7 +1256,8 @@ def _make_kernel(
                     dbg,
                 )
         debug_ref[:, :TILE_W] = dbg
-        debug_ref[:, TILE_W:] = zf
+        for q in range(1, q_blocks):
+            debug_ref[:, q * TILE_W : (q + 1) * TILE_W] = zf
 
     return kernel
 
@@ -1271,22 +1300,29 @@ def render_sample(
     ``noise_q`` is the tiny periodic quad table from
     :func:`noise_quads` — no full-image noise planes exist anywhere."""
     hp = _pad_to(height, BLOCK)
-    wp = _pad_to(width, 2 * BLOCK)  # paired: 2 pixel blocks / program
+    nbx0 = _pad_to(width, BLOCK) // BLOCK
+    # largest queue depth <= the cap whose width padding stays small
+    q = 1
+    for cand in range(1, min(Q_BLOCKS, nbx0) + 1):
+        if -(-nbx0 // cand) * cand <= nbx0 + max(1, nbx0 // 16):
+            q = cand
+    wp = _pad_to(width, q * BLOCK)
     nby, nbx = hp // BLOCK, wp // BLOCK
     P = 128 // BLOCK
 
-    grid = (nby, nbx // 2)
+    grid = (nby, nbx // q)
     kernel = _make_kernel(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         max_bounces=max_bounces, fine_in_hbm=fine_in_hbm,
-        nbx2=nbx // 2,
+        nbx2=nbx // 2, q_blocks=q,
     )
 
     plane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.float32)
     iplane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.int32)
-    # each program writes a (TILE_H, 2*TILE_W) block: two pixel groups
+    # each program writes a (TILE_H, q*TILE_W) block: q pixel groups
     tile_spec = pl.BlockSpec(
-        (TILE_H, 2 * TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        (TILE_H, q * TILE_W), lambda i, j: (i, j),
+        memory_space=pltpu.VMEM,
     )
     full = lambda shape: pl.BlockSpec(
         shape, lambda i, j: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -1373,6 +1409,6 @@ def render_sample(
         # counter c: 0 outer iters, 1 meta serve rounds, 2 brick serve
         # rounds, 3 fine-resolve serve rounds, 4 live-lane integral
         "debug_iters": dbg[::TILE_H, :].reshape(
-            nby, nbx // 2, 2 * TILE_W
-        )[..., :30].reshape(nby * (nbx // 2), 30),
+            nby, nbx // q, q * TILE_W
+        )[..., :30].reshape(nby * (nbx // q), 30),
     }
