@@ -201,11 +201,20 @@ def config4_monu9_full(quick=False):
 
     # time the denoiser the pipeline actually selected for this device
     den_mod = (
-        denoise_pallas_op if r.trace_impl == "pallas" else denoise_op
+        denoise_pallas_op if r.trace_impl.startswith("pallas") else denoise_op
     )
     den = jax.jit(partial(den_mod.denoise, radius=2))
     t_denoise = _t(den, gC, gN, gD, gA, gM, cam_t, DenoiseParams())
-    tmp = jax.jit(partial(temporal_op.temporal_blend, reproject=True))
+    # time the resampler the pipeline actually selected for this device
+    tmp = jax.jit(
+        partial(
+            temporal_op.temporal_blend,
+            reproject=True,
+            resample_impl=(
+                "pallas" if r.trace_impl.startswith("pallas") else "xla"
+            ),
+        )
+    )
     t_temporal = _t(
         tmp, gC, gN, gD, gC, gD * 0 + 0.5, gD, cam_t, cam_t,
         TemporalParams(), jnp.asarray(True),

@@ -97,6 +97,9 @@ FARPAIR = _os.environ.get("VOX_FARPAIR", "0") == "1"
 # at Q=2/3/4/10/20.  render_sample picks the largest Q <= cap whose
 # padding stays small for the image width.
 Q_BLOCKS = int(_os.environ.get("VOX_QBLOCKS", 20))
+# DDA steps per queue swap: >1 halves the (N-1)-deep init-select
+# chains at the cost of finished lanes idling <= QSWAP-1 steps.
+QSWAP = int(_os.environ.get("VOX_QSWAP", 1))
 # Lanes cover a square BLOCK x BLOCK pixel region per program (better
 # 3-D locality for the serve loop than a raw TILE_H x TILE_W image
 # strip: ~2.5x fewer serve iterations on menger).  The image<->lane
@@ -838,16 +841,22 @@ def _make_traverse(
             mst = s[19:24]
             recs = s[24:30]
             saved = s[30 : 30 + 3 * (N - 1)]
-            out = one_step(ray, nserv, nact, nlive, *trav, *mst, *recs)
-            nserv, nact, nlive = out[0:3]
-            trav = out[3:8]
-            mst = out[8:13]
-            recs = out[13:19]
+            # QSWAP march steps per swap: the while cond only ever
+            # observes post-swap state, so queue-pending lanes can
+            # never be mistaken for done
+            for _ in range(QSWAP):
+                out = one_step(
+                    ray, nserv, nact, nlive, *trav, *mst, *recs
+                )
+                nserv, nact, nlive = out[0:3]
+                trav = out[3:8]
+                mst = out[8:13]
+                recs = out[13:19]
             qidx, ray, trav, recs, saved = swap(
                 qidx, ray, trav, recs, saved
             )
             return (
-                (it + 1, nserv, nact, nlive, qidx)
+                (it + QSWAP, nserv, nact, nlive, qidx)
                 + ray + trav + mst + recs + saved
             )
 
