@@ -91,6 +91,33 @@ def test_pallas_interpret_matches_oracle():
     _compare(scene, cam)
 
 
+def test_pallas_legacy_brick_tables_match_oracle(monkeypatch):
+    """Scenes with more unique (mask, slot) bricks than
+    BRICK_DEDUP_MAX keep per-node (2, rows, 128) brick tables with the
+    laddered cached serve; forcing the threshold to 0 must change
+    nothing observable."""
+    from voxtracer.scene import grid as grid_mod
+
+    monkeypatch.setattr(grid_mod, "BRICK_DEDUP_MAX", 0)
+    vl = VoxelList(
+        pos=np.array(
+            [[0, 0, 0], [2, 1, 0], [1, 0, 3], [-2, 1, 1]], dtype=np.int16
+        ),
+        mrgb=np.array(
+            [
+                [0, 200, 100, 50],
+                [0x40, 255, 10, 10],
+                [0, 10, 255, 10],
+                [0, 90, 90, 240],
+            ],
+            dtype=np.uint8,
+        ),
+    )
+    scene = GridScene.from_voxels(vl)
+    t = _compare(scene, cam=Camera(position=np.array([0.3, 0.2, -1.5])))
+    assert t["brick_idx"].shape[0] == 2  # per-node layout was exercised
+
+
 def test_pallas_hbm_fine_table_matches_oracle():
     """fine_in_hbm=True keeps the packed fine table out of VMEM and
     DMAs serve windows on demand (the no-cliff path for scenes beyond

@@ -410,7 +410,8 @@ def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
 
 
 def _make_traverse(
-    dims, zw, origin, n_rows, l3_dims, m_rows, b_rows, fine_in_hbm=False
+    dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
+    fine_in_hbm=False, brick_dedup=True,
 ):
     """Build the in-kernel node-DDA traversal closure.
 
@@ -491,16 +492,17 @@ def _make_traverse(
 
     def make_step(meta_ref, brick_ref):
         """One DDA step over carried state; ``ray`` may be a closure
-        constant (single-ray loop) or loop-carried planes (ray queue)."""
+        constant (single-ray loop) or loop-carried planes (ray queue).
+
+        ``mst`` (march-state planes) is (m_cached, m_word) in dedup
+        mode — the brick sweep is stateless — plus
+        (b_cached, b_lo, b_hi) in per-node (legacy) mode."""
 
         inf = jnp.float32(np.inf)
 
-        def one_step(
-            ray,
-            nserv, nact, nlive, active, cx, cy, cz, t,
-            m_cached, m_word, b_cached, b_lo, b_hi, hslot_u,
-            hit, hit_t, hcx, hcy, hcz,
-        ):
+        def one_step(ray, nserv, nact, nlive, trav, mst, recs):
+            (active, cx, cy, cz, t) = trav
+            (hslot_u, hit, hit_t, hcx, hcy, hcz) = recs
             (ox_, oy_, oz_, dx, dy, dz, invx, invy, invz) = ray
             sx = jnp.sign(dx).astype(jnp.int32)
             sy = jnp.sign(dy).astype(jnp.int32)
@@ -521,7 +523,12 @@ def _make_traverse(
             act = active == 1
 
             # 2. fetch the node's 16-bit meta (tiny march table:
-            # occupancy + uniform slot, or empty-space distance)
+            # occupancy + brick index / uniform slot, or empty-space
+            # distance)
+            if brick_dedup:
+                m_cached, m_word = mst
+            else:
+                m_cached, m_word, b_cached, b_lo, b_hi = mst
             qx = cx >> 2
             qy = cy >> 2
             qz = cz >> 2
@@ -537,15 +544,48 @@ def _make_traverse(
             val = (m_word >> ((qz & 1) << 4)) & 0xFFFF
             occ3 = (val & 0x8000) != 0
 
-            # 3. lanes in an occupied node fetch its brick (64-bit
-            # fine mask, adjacent word pair)
+            # 3. lanes in an occupied node resolve its brick (64-bit
+            # fine mask + uniform slot)
             b_need = act & occ3
-            b_addr = jnp.where(b_need, l3_col * QZ + qz, 0)
-            b_lo, b_hi, b_cached, kf2 = _serve_loop_pair(
-                brick_ref, b_rows, b_addr, b_need, b_lo, b_hi, b_cached,
-                win=BRICK_WIN,
-            )
-            nact = nact + kf2
+            if brick_dedup:
+                # occupied meta carries a 15-bit index into the tiny
+                # unique-brick table (mask lo / mask hi / slot): ONE
+                # static full-table sweep — no min-reduce handoff, no
+                # adaptive rounds, no cached-word loop state.
+                waddr_b = jnp.where(b_need, val & 0x7FFF, 0)
+                rowb = waddr_b >> 7
+                colb = waddr_b & 127
+                b_lo = jnp.zeros_like(cx)
+                b_hi = jnp.zeros_like(cx)
+                b_slot = jnp.zeros_like(cx)
+                for s8 in range(b_rows):
+                    serve = rowb == s8
+                    lo_b = jnp.broadcast_to(
+                        brick_ref[0, s8 : s8 + 1, :], cx.shape
+                    )
+                    hi_b = jnp.broadcast_to(
+                        brick_ref[1, s8 : s8 + 1, :], cx.shape
+                    )
+                    sl_b = jnp.broadcast_to(
+                        brick_ref[2, s8 : s8 + 1, :], cx.shape
+                    )
+                    b_lo = jnp.where(
+                        serve, jnp.take_along_axis(lo_b, colb, axis=1), b_lo
+                    )
+                    b_hi = jnp.where(
+                        serve, jnp.take_along_axis(hi_b, colb, axis=1), b_hi
+                    )
+                    b_slot = jnp.where(
+                        serve, jnp.take_along_axis(sl_b, colb, axis=1), b_slot
+                    )
+            else:
+                b_addr = jnp.where(b_need, l3_col * QZ + qz, 0)
+                b_lo, b_hi, b_cached, kf2 = _serve_loop_pair(
+                    brick_ref, b_rows, b_addr, b_need, b_lo, b_hi,
+                    b_cached, win=BRICK_WIN,
+                )
+                nact = nact + kf2
+                b_slot = val & 0x3FF
 
             def bt_axis(lo, hi, og, sgn, o, inv):
                 bnd = jnp.where(sgn > 0, hi, lo)
@@ -597,7 +637,7 @@ def _make_traverse(
             hcx = jnp.where(found_any, cx, hcx)
             hcy = jnp.where(found_any, cy, hcy)
             hcz = jnp.where(found_any, cz, hcz)
-            hslot_u = jnp.where(found_any, val & 0x3FF, hslot_u)
+            hslot_u = jnp.where(found_any, b_slot, hslot_u)
             active = active * (1 - found_any.astype(jnp.int32))
 
             # 4b. box advance for empty nodes: distance d certifies
@@ -634,26 +674,18 @@ def _make_traverse(
             # progress is monotone regardless, t only feeds hit_t
             t = jnp.where(step, jnp.maximum(t, bt), t)
 
+            mst_out = (
+                (m_cached, m_word)
+                if brick_dedup
+                else (m_cached, m_word, b_cached, b_lo, b_hi)
+            )
             return (
                 nserv,
                 nact,
                 nlive,
-                active,
-                cx,
-                cy,
-                cz,
-                t,
-                m_cached,
-                m_word,
-                b_cached,
-                b_lo,
-                b_hi,
-                hslot_u,
-                hit,
-                hit_t,
-                hcx,
-                hcy,
-                hcz,
+                (active, cx, cy, cz, t),
+                mst_out,
+                (hslot_u, hit, hit_t, hcx, hcy, hcz),
             )
 
         return one_step
@@ -754,12 +786,35 @@ def _make_traverse(
         Cap edge: if the combined march hits MAX_OUTER_ITERS (far
         beyond any real scene; the reference's per-ray fuse needs
         >2048 steps), the lane's current ray reports fused at its
-        current cell and not-yet-run rays report misses."""
+        current cell and not-yet-run rays report misses.
+
+        Queue storage is RAW rays only — 7 planes per queued ray
+        (o3, d3, mask) instead of the 14-plane precomputed setup; the
+        swap recomputes the DDA entry state (1/d, slab t0, entry
+        cell) once per swap call for all lanes.  The while body reads
+        every queued ray's stored planes each iteration through the
+        qidx select chain, so halving the planes halves that VMEM
+        traffic — measured faster than precomputed setups at Q=20."""
         N = len(rays)
-        setups = [ray_setup(*r) for r in rays]
+        raw = []
+        for (o3, d3, mask) in rays:
+            m = (
+                jnp.ones_like(o3[0], dtype=bool)
+                if mask is None
+                else mask
+            )
+            raw.append(
+                (o3[0], o3[1], o3[2], d3[0], d3[1], d3[2],
+                 m.astype(jnp.int32))
+            )
+
+        def setup_from_raw(rw):
+            return ray_setup(rw[0:3], rw[3:6], rw[6] == 1)
+
+        setup0 = setup_from_raw(raw[0])
         one_step = make_step(meta_ref, brick_ref)
-        zero_i = jnp.zeros_like(setups[0][1])
-        zero_f = jnp.zeros_like(setups[0][4])
+        zero_i = jnp.zeros_like(setup0[1])
+        zero_f = jnp.zeros_like(setup0[4])
         rec_zero = (zero_i, zero_i, zero_f, zero_i, zero_i, zero_i)
 
         # banked records travel packed: (hcx|hcy, hcz|slot|hit, hit_t)
@@ -784,6 +839,8 @@ def _make_traverse(
         def swap(qidx, ray, trav, recs, saved):
             """Lanes whose current ray just finished: bank its records
             and load the next ray's init state."""
+            if N == 1:  # no queue to advance
+                return qidx, ray, trav, recs, saved
             active = trav[0]
             done = (active == 0) & (qidx < N - 1)
             packed = pack_recs(recs)
@@ -794,19 +851,25 @@ def _make_traverse(
                     saved[3 * r + i] = jnp.where(
                         m, packed[i], saved[3 * r + i]
                     )
-            for r in range(1, N):
-                m = done & (qidx == r - 1)
-                rayR, cxR, cyR, czR, t0R, a0R = setups[r]
-                ray = tuple(
-                    jnp.where(m, b, c) for b, c in zip(rayR, ray)
+            # per-lane next ray's RAW planes (o3, d3, mask) via the
+            # qidx chain, then ONE vectorized ray_setup for the batch
+            nraw = raw[1]
+            for r in range(2, N):
+                m = qidx == r - 1
+                nraw = tuple(
+                    jnp.where(m, b, c) for b, c in zip(raw[r], nraw)
                 )
-                trav = (
-                    jnp.where(m, a0R, trav[0]),
-                    jnp.where(m, cxR, trav[1]),
-                    jnp.where(m, cyR, trav[2]),
-                    jnp.where(m, czR, trav[3]),
-                    jnp.where(m, t0R, trav[4]),
-                )
+            rayN, cxN, cyN, czN, t0N, a0N = setup_from_raw(nraw)
+            ray = tuple(
+                jnp.where(done, b, c) for b, c in zip(rayN, ray)
+            )
+            trav = (
+                jnp.where(done, a0N, trav[0]),
+                jnp.where(done, cxN, trav[1]),
+                jnp.where(done, cyN, trav[2]),
+                jnp.where(done, czN, trav[3]),
+                jnp.where(done, t0N, trav[4]),
+            )
             recs = tuple(
                 jnp.where(done, z, c) for z, c in zip(rec_zero, recs)
             )
@@ -814,8 +877,8 @@ def _make_traverse(
             return qidx, ray, trav, recs, tuple(saved)
 
         # lanes with dead leading rays start further down the queue
-        ray0 = setups[0][0]
-        trav0 = (setups[0][5],) + tuple(setups[0][1:5])
+        ray0 = setup0[0]
+        trav0 = (setup0[5],) + tuple(setup0[1:5])
         qidx0 = zero_i
         recs0 = rec_zero
         saved0 = tuple([zero_i, zero_i, zero_f] * (N - 1))
@@ -823,10 +886,19 @@ def _make_traverse(
             qidx0, ray0, trav0, recs0, saved0 = swap(
                 qidx0, ray0, trav0, recs0, saved0
             )
-        mst0 = (zero_i - 1, zero_i, zero_i - 1, zero_i, zero_i)
+        mst0 = (
+            (zero_i - 1, zero_i)
+            if brick_dedup
+            else (zero_i - 1, zero_i, zero_i - 1, zero_i, zero_i)
+        )
+        M = len(mst0)
 
         # state layout: it | counters(3) | qidx | ray(9) | trav(5) |
-        #               mst(5) | recs(6) | saved(3*(N-1))
+        #               mst(M) | recs(6) | saved(3*(N-1))
+        MST0 = 19
+        REC0 = MST0 + M
+        SAV0 = REC0 + 6
+
         def cond(s):
             return jnp.logical_and(
                 s[0] < MAX_OUTER_ITERS, jnp.max(s[14]) > 0
@@ -838,20 +910,16 @@ def _make_traverse(
             qidx = s[4]
             ray = s[5:14]
             trav = s[14:19]
-            mst = s[19:24]
-            recs = s[24:30]
-            saved = s[30 : 30 + 3 * (N - 1)]
+            mst = s[MST0:REC0]
+            recs = s[REC0:SAV0]
+            saved = s[SAV0 : SAV0 + 3 * (N - 1)]
             # QSWAP march steps per swap: the while cond only ever
             # observes post-swap state, so queue-pending lanes can
             # never be mistaken for done
             for _ in range(QSWAP):
-                out = one_step(
-                    ray, nserv, nact, nlive, *trav, *mst, *recs
+                nserv, nact, nlive, trav, mst, recs = one_step(
+                    ray, nserv, nact, nlive, trav, mst, recs
                 )
-                nserv, nact, nlive = out[0:3]
-                trav = out[3:8]
-                mst = out[8:13]
-                recs = out[13:19]
             qidx, ray, trav, recs, saved = swap(
                 qidx, ray, trav, recs, saved
             )
@@ -869,8 +937,8 @@ def _make_traverse(
         n_live, qidx = out[3], out[4]
         active = out[14]
         cur = (out[15], out[16], out[17], out[18])  # cx, cy, cz, t
-        recs = out[24:30]
-        saved = out[30 : 30 + 3 * (N - 1)]
+        recs = out[REC0:SAV0]
+        saved = out[SAV0 : SAV0 + 3 * (N - 1)]
 
         results = []
         n_fine = np.int32(0)
@@ -888,7 +956,7 @@ def _make_traverse(
                     for c, z in zip(recs, rec_zero)
                 )
             hit, t, slot, fused, nrm, nf = finish(
-                table_ref, setups[r][0], cur_r & (active == 1), cur,
+                table_ref, raw[r], cur_r & (active == 1), cur,
                 recs_r, fine_dma,
             )
             n_fine = n_fine + nf
@@ -902,10 +970,11 @@ def _make_traverse(
 def _make_kernel(
     dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
     max_bounces=MAX_BOUNCES, fine_in_hbm=False, nbx2=1, q_blocks=2,
+    brick_dedup=True,
 ):
     traverse, traverse_qn = _make_traverse(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
-        fine_in_hbm=fine_in_hbm,
+        fine_in_hbm=fine_in_hbm, brick_dedup=brick_dedup,
     )
 
     assert not (FARPAIR and q_blocks != 2), "VOX_FARPAIR needs Q=2"
@@ -914,7 +983,8 @@ def _make_kernel(
         params_ref,  # (1, PARAMS_LEN) f32 SMEM
         table_ref,  # (n_rows, 128) int32 VMEM
         meta_ref,  # (m_rows, 128) int32 VMEM
-        brick_ref,  # (2, b_rows, 128) int32 VMEM (lo/hi mask words)
+        brick_ref,  # (2|3, b_rows, 128) int32 VMEM: per-node lo/hi
+        #   mask words, or dedup (mask lo / mask hi / uniform slot)
         palette_ref,  # (8, 128) int32 VMEM
         noise_ref,  # (24, 1, 2, TILE_H, TILE_W) f32 VMEM quad block
         color_r_ref,  # out blocks are (TILE_H, 2*TILE_W): pixel group
@@ -1286,7 +1356,7 @@ def _pad_to(x, m):
 def render_sample(
     packed_idx: jnp.ndarray,  # (n_rows, 128) int32
     meta_idx: jnp.ndarray,  # (m_rows, 128) int32
-    brick_idx: jnp.ndarray,  # (2, b_rows, 128) int32
+    brick_idx: jnp.ndarray,  # (2|3, b_rows, 128) int32 (see _pack_nodes)
     palette: jnp.ndarray,  # (8, 128) int32
     params_vec: jnp.ndarray,  # (1, PARAMS_LEN) f32
     noise_q: jnp.ndarray,  # (24, P, P, TILE_H, TILE_W) f32, noise_quads()
@@ -1320,10 +1390,14 @@ def render_sample(
     P = 128 // BLOCK
 
     grid = (nby, nbx // q)
+    # brick table layout is content-addressed dedup (3 parallel tables:
+    # mask lo / mask hi / uniform slot) vs per-node (2 tables) — the
+    # mode is carried by the leading axis (scene/grid.py _pack_nodes)
+    brick_dedup = int(brick_idx.shape[0]) == 3
     kernel = _make_kernel(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         max_bounces=max_bounces, fine_in_hbm=fine_in_hbm,
-        nbx2=nbx // 2, q_blocks=q,
+        nbx2=nbx // 2, q_blocks=q, brick_dedup=brick_dedup,
     )
 
     plane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.float32)
@@ -1369,7 +1443,7 @@ def render_sample(
             ),
             fine_spec,
             full((m_rows, 128)),
-            full((2, b_rows, 128)),
+            full(tuple(int(d) for d in brick_idx.shape)),
             full((8, 128)),
             pl.BlockSpec(
                 # both x-quadrants ride along: group q is [k, 0, q]

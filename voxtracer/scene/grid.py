@@ -54,6 +54,17 @@ DIST_CAP = RESERVED_SLOTS - 1
 # the native distance field stores it exactly.
 L3_DIST_CAP = 255
 
+# Content-addressed brick dedup: voxel scenes repeat 4x4x4 occupancy
+# patterns heavily (menger's 6480 occupied nodes share 1041 distinct
+# (mask, uniform-slot) pairs; every shipped asset <= 3139).  When the
+# distinct count fits this many table entries, occupied meta words
+# carry a 15-bit index into a tiny (3, rows, 128) unique-brick table
+# (mask lo word / mask hi word / uniform palette slot) that the kernel
+# serves with ONE static full sweep — no min-reduce, no adaptive
+# rounds.  Beyond the cap the builder falls back to per-node (2, rows,
+# 128) brick tables (the laddered cached serve).
+BRICK_DEDUP_MAX = 4096
+
 
 def _ceil_multiple(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -296,17 +307,6 @@ def _pack_nodes(
     weights = np.int64(1) << np.arange(32, dtype=np.int64)
     lo = (bits[..., :32] * weights).sum(axis=-1)
     hi = (bits[..., 32:] * weights).sum(axis=-1)
-    # The mask's two 32-bit halves live in two parallel tables sharing
-    # one address (node linear index): a brick occupies one column per
-    # table instead of an adjacent word pair, so the serve loop's
-    # pending row spans — the dominant divergent-ray cost — halve.
-    brick_idx = np.stack(
-        [
-            _pillar_pack(lo[..., None].astype(np.uint32), 1),
-            _pillar_pack(hi[..., None].astype(np.uint32), 1),
-        ],
-        axis=0,
-    )
 
     # uniform palette slot per block (0 when mixed / empty)
     v64 = vals_p.astype(np.int64)
@@ -331,9 +331,41 @@ def _pack_nodes(
         uniform & (pal_sorted[pos] == uval), order[pos], 0
     ).astype(np.int64)
 
-    meta16 = np.where(
-        l3_occ, np.int64(0x8000) | slot, l3_d.astype(np.int64)
+    # content-addressed dedup over (64-bit mask, uniform slot) pairs —
+    # see BRICK_DEDUP_MAX.  Empty nodes map to entry (0, 0); they never
+    # consult the brick table.
+    keys = np.stack(
+        [(lo | (hi << 32)).reshape(-1), slot.reshape(-1)], axis=1
     )
+    uniq_keys, inv = np.unique(keys, axis=0, return_inverse=True)
+    if len(uniq_keys) <= BRICK_DEDUP_MAX:
+        bidx = inv.reshape(qx_d, qy_d, qz_d).astype(np.int64)
+        meta16 = np.where(
+            l3_occ, np.int64(0x8000) | bidx, l3_d.astype(np.int64)
+        )
+        rows = max(8, -(-len(uniq_keys) // 128))
+        tab = np.zeros((3, rows * 128), np.uint32)
+        umask = uniq_keys[:, 0]
+        tab[0, : len(uniq_keys)] = umask & 0xFFFFFFFF
+        tab[1, : len(uniq_keys)] = (umask >> 32) & 0xFFFFFFFF
+        tab[2, : len(uniq_keys)] = uniq_keys[:, 1]
+        brick_idx = (
+            tab.view(np.int32).reshape(3, rows, 128)
+        )
+    else:
+        # per-node fallback: the mask's two 32-bit halves as two
+        # parallel tables sharing one address (node linear index), the
+        # uniform slot in the meta word
+        brick_idx = np.stack(
+            [
+                _pillar_pack(lo[..., None].astype(np.uint32), 1),
+                _pillar_pack(hi[..., None].astype(np.uint32), 1),
+            ],
+            axis=0,
+        )
+        meta16 = np.where(
+            l3_occ, np.int64(0x8000) | slot, l3_d.astype(np.int64)
+        )
     if qz_d % 2:
         meta16 = np.concatenate(
             [meta16, np.zeros((qx_d, qy_d, 1), np.int64)], axis=2
