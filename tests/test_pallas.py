@@ -15,7 +15,7 @@ from voxtracer.oracle import renderer as oracle
 from voxtracer.scene import GridScene, VoxelList
 
 
-def _compare(scene, cam, w=128, h=64, seed=7, **trace_kw):
+def _compare(scene, cam, w=128, h=64, seed=7, tile_h=None, **trace_kw):
     params = RenderParams()
     right, up, forward = cam.axis_scaled(w, h)
     buf = noise_op.white_noise_buffer(seed=seed, count=32)
@@ -37,7 +37,9 @@ def _compare(scene, cam, w=128, h=64, seed=7, **trace_kw):
     t = scene.device_tables()
     cam_arr = np.stack([cam.position, right, up, forward]).astype(np.float32)
     pvec = trace_pallas.pack_params(cam_arr, params)
-    nq = trace_pallas.noise_quads(jnp.asarray(buf), jnp.int32(1))
+    nq = trace_pallas.noise_quads(
+        jnp.asarray(buf), jnp.int32(1), tile_h=tile_h
+    )
     x = trace_pallas.render_sample(
         jnp.asarray(t["packed_idx"]),
         jnp.asarray(t["meta_idx"]),
@@ -89,6 +91,29 @@ def test_pallas_interpret_matches_oracle():
     scene = GridScene.from_voxels(vl)
     cam = Camera(position=np.array([0.3, 0.2, -1.5]))
     _compare(scene, cam)
+
+
+def test_pallas_full_tile_matches_oracle():
+    """The (128, 128) lane tile (the VOX_TILE_H=128 probe layout; one
+    pixel block spans the whole noise quad, P == 1) must agree with
+    the oracle exactly like the default (32, 128) tile."""
+    vl = VoxelList(
+        pos=np.array(
+            [[0, 0, 0], [2, 1, 0], [1, 0, 3], [-2, 1, 1]], dtype=np.int16
+        ),
+        mrgb=np.array(
+            [
+                [0, 200, 100, 50],
+                [0x40, 255, 10, 10],
+                [0, 10, 255, 10],
+                [0, 90, 90, 240],
+            ],
+            dtype=np.uint8,
+        ),
+    )
+    scene = GridScene.from_voxels(vl)
+    cam = Camera(position=np.array([0.3, 0.2, -1.5]))
+    _compare(scene, cam, w=128, h=128, tile_h=128)
 
 
 def test_pallas_legacy_brick_tables_match_oracle(monkeypatch):

@@ -91,7 +91,10 @@ def config1_oracle_match(quick=False):
         jnp.asarray(t["brick_idx"]),
         jnp.asarray(t["palette"]),
         jnp.asarray(trace_pallas.pack_params(cam_arr, params)),
-        trace_pallas.noise_quads(jnp.asarray(buf), jnp.int32(1)),
+        trace_pallas.noise_quads(
+            jnp.asarray(buf), jnp.int32(1),
+            tile_h=trace_pallas.pick_tile(size, size),
+        ),
         dims=scene.values.shape,
         zw=t["zw"],
         origin=tuple(int(v) for v in scene.origin),
@@ -310,7 +313,10 @@ def config6_asset_sweep(quick=False):
             jnp.asarray(t["brick_idx"]),
             jnp.asarray(t["palette"]),
             jnp.asarray(trace_pallas.pack_params(cam_arr, params)),
-            trace_pallas.noise_quads(jnp.asarray(buf), jnp.int32(1)),
+            trace_pallas.noise_quads(
+                jnp.asarray(buf), jnp.int32(1),
+                tile_h=trace_pallas.pick_tile(ch, cw),
+            ),
             dims=scene.values.shape,
             zw=t["zw"],
             origin=tuple(int(v) for v in scene.origin),

@@ -100,7 +100,8 @@ def render_frame_impl(
         )
         if shard_mesh is None:
             nq = trace_pallas.noise_quads(
-                jnp.asarray(noise_buffer), frame_number
+                jnp.asarray(noise_buffer), frame_number,
+                tile_h=trace_pallas.pick_tile(height, width),
             )
             gbuf = trace_pallas.render_sample(
                 scene_arrays["packed_idx"],
@@ -128,7 +129,10 @@ def render_frame_impl(
             def _trace(packed, meta, brick, pal, pv, nbuf, fnum):
                 row0 = jax.lax.axis_index(shard_axis) * slab
                 pv = pv.at[0, 30].set(row0.astype(jnp.float32))
-                nq = trace_pallas.noise_quads(nbuf, fnum, roll=row0)
+                nq = trace_pallas.noise_quads(
+                    nbuf, fnum, roll=row0,
+                    tile_h=trace_pallas.pick_tile(slab, width),
+                )
                 return trace_pallas.render_sample(
                     packed, meta, brick, pal, pv, nq,
                     height=slab, **trace_kw,

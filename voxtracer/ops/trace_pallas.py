@@ -73,7 +73,7 @@ WIN_ROWS = 16  # rows per serve window (8 and 32 measured slower)
 # Per-table serve window sizes (sweepable via env for perf probes):
 # pending rows are dense on the fine table but sparse on the small
 # L3/supercell tables, where narrow windows waste fewer gathers.
-META_WIN = int(_os.environ.get("VOX_META_WIN", 16))
+META_WIN = int(_os.environ.get("VOX_META_WIN", 24))  # 8/16/32 slower
 BRICK_WIN = int(_os.environ.get("VOX_BRICK_WIN", 16))  # 8/32/64 slower
 # Unrolled in-register fine-DDA steps per brick visit.  10 covers any
 # chord through a 4x4x4 brick (4+4+4-2); fewer steps are still correct
@@ -100,12 +100,36 @@ Q_BLOCKS = int(_os.environ.get("VOX_QBLOCKS", 20))
 # DDA steps per queue swap: >1 halves the (N-1)-deep init-select
 # chains at the cost of finished lanes idling <= QSWAP-1 steps.
 QSWAP = int(_os.environ.get("VOX_QSWAP", 1))
+# Shadow rays of bounce b-1 ride bounce b's march as extra queue
+# entries: 4 traversal while-loops per frame instead of 6, and the
+# divergence tail averages over 2x the rays per lane.  Measured WORSE
+# on menger 720p (18.7 vs 17.2 ms trace): the doubled per-iteration
+# qidx select chain outweighs the tail savings.  Kept as a probe knob.
+MERGE_SHADOW = _os.environ.get("VOX_MERGE_SHADOW", "0") == "1"
 # Lanes cover a square BLOCK x BLOCK pixel region per program (better
 # 3-D locality for the serve loop than a raw TILE_H x TILE_W image
 # strip: ~2.5x fewer serve iterations on menger).  The image<->lane
 # remaps outside the kernel cost ~9 ms at 720p — far below the serve
 # iterations they save.  BLOCK*BLOCK == TILE_H*TILE_W.
-BLOCK = {2: 16, 8: 32, 32: 64, 128: 128}[TILE_H]
+BLOCK_OF = {2: 16, 8: 32, 32: 64, 128: 128}
+BLOCK = BLOCK_OF[TILE_H]
+
+
+def pick_tile(height: int, width: int) -> int:
+    """Lane-tile height for an image of the given size.
+
+    Full (128, 128) register planes were probed as an alternative to
+    the (32, 128) tile: fewer, larger programs, but a clean in-process
+    A/B on menger 720p measured them consistently SLOWER (19.2-19.6 vs
+    17.4-17.8 ms/trace over repeated pairs — bigger live register
+    planes hurt more than the amortized fixed costs help), so the
+    (32, 128) tile stays the choice at every resolution.  The 128 path
+    remains fully supported (oracle-parity tested) for perf probes via
+    the VOX_TILE_H env override, which pins the module default
+    everywhere."""
+    if "VOX_TILE_H" in _os.environ:
+        return TILE_H
+    return 32
 
 # float32 params vector layout (SMEM row):
 #   0-2 cam origin | 3-5 right | 6-8 up | 9-11 forward(pixel-scaled)
@@ -170,8 +194,8 @@ def pack_params_traced(cam, p):
     return jnp.pad(vec, (0, PARAMS_LEN - vec.shape[0])).reshape(1, PARAMS_LEN)
 
 
-def noise_quads(buffer, frame, count=PLANES_PER_FRAME, roll=None):
-    """Lane-layout RNG planes as (count, P, P, TILE_H, TILE_W) quads.
+def noise_quads(buffer, frame, count=PLANES_PER_FRAME, roll=None, tile_h=None):
+    """Lane-layout RNG planes as (count, P, P, tile_h, TILE_W) quads.
 
     The reference's rand() value at pixel (py, px) is
     ``buffer[(frame+1+k) % S, py % 128, px % 128]``
@@ -185,16 +209,23 @@ def noise_quads(buffer, frame, count=PLANES_PER_FRAME, roll=None):
 
     ``roll`` (int32, optional): global row offset of this image slab —
     the sharded path pre-rolls the y axis so in-kernel parity stays
-    ``i % P`` regardless of slab alignment."""
+    ``i % P`` regardless of slab alignment.
+
+    ``tile_h``: lane-tile height (default: the module TILE_H); must
+    match the :func:`render_sample` call consuming the quads —
+    render_sample derives its tile from the quad shape, so using
+    :func:`pick_tile` here keeps them consistent by construction."""
+    th = TILE_H if tile_h is None else tile_h
+    block = BLOCK_OF[th]
     n_slices = buffer.shape[0]
-    P = 128 // BLOCK
+    P = 128 // block
     sl = jnp.stack(
         [buffer[(frame + 1 + k) % n_slices] for k in range(count)]
     )
     if roll is not None:
         sl = jnp.roll(sl, -roll, axis=1)
-    q = sl.reshape(count, P, BLOCK, P, BLOCK).transpose(0, 1, 3, 2, 4)
-    return q.reshape(count, P, P, TILE_H, TILE_W)
+    q = sl.reshape(count, P, block, P, block).transpose(0, 1, 3, 2, 4)
+    return q.reshape(count, P, P, th, TILE_W)
 
 
 def _flat_gather_1024(table, idx):
@@ -970,12 +1001,14 @@ def _make_traverse(
 def _make_kernel(
     dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
     max_bounces=MAX_BOUNCES, fine_in_hbm=False, nbx2=1, q_blocks=2,
-    brick_dedup=True,
+    brick_dedup=True, tile_h=TILE_H,
 ):
     traverse, traverse_qn = _make_traverse(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         fine_in_hbm=fine_in_hbm, brick_dedup=brick_dedup,
     )
+    block = BLOCK_OF[tile_h]
+    p_par = 128 // block  # noise-quad parity period per axis
 
     assert not (FARPAIR and q_blocks != 2), "VOX_FARPAIR needs Q=2"
 
@@ -1008,7 +1041,7 @@ def _make_kernel(
         def P(i):
             return params_ref[0, i]
 
-        shape = (TILE_H, TILE_W)
+        shape = (tile_h, TILE_W)
         iy = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         ix = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
         fy = iy.astype(jnp.float32)
@@ -1038,9 +1071,9 @@ def _make_kernel(
         def noise(k, q):
             # x-parity of group q's pixel block (dynamic scalar)
             if FARPAIR:
-                par = (tj + q * nbx2) % 2
+                par = (tj + q * nbx2) % p_par
             else:
-                par = (tj * q_blocks + q) % 2
+                par = (tj * q_blocks + q) % p_par
             return noise_ref[k, 0, par, :, :]
 
         def slot_color(slot_vals):
@@ -1066,8 +1099,8 @@ def _make_kernel(
                 bj = tj + q * nbx2
             else:
                 bj = tj * q_blocks + q
-            px = (bj * BLOCK + (lane % BLOCK)).astype(jnp.float32)
-            py = (ti * BLOCK + (lane // BLOCK)).astype(jnp.float32) + P(30)
+            px = (bj * block + (lane % block)).astype(jnp.float32)
+            py = (ti * block + (lane // block)).astype(jnp.float32) + P(30)
             rdx = px * right[0] - py * up[0] + fwd[0]
             rdy = px * right[1] - py * up[1] + fwd[1]
             rdz = px * right[2] - py * up[2] + fwd[2]
@@ -1190,19 +1223,12 @@ def _make_kernel(
             hmz = spz - nz * flip
             g["diff_dot"] = _dot3(nx, ny, nz, hmx, hmy, hmz)
 
-            g["hit"] = hit
-            g["spec_sel"] = specular & hit
-            g["diff_sel"] = (~specular) & hit
-            g["cos_term"] = cos_term
-            g["col_r"], g["col_g"], g["col_b"] = col_r, col_g, col_b
-            g["rf"] = (rfx, rfy, rfz)
-            g["hm"] = (hmx, hmy, hmz)
-            g["ambient"] += (g["diff_sel"] & sun_on).astype(jnp.float32)
+            spec_sel = specular & hit
+            diff_sel = (~specular) & hit
+            g["ambient"] += (diff_sel & sun_on).astype(jnp.float32)
 
             # miss sky color (sun disk only on the primary ray) uses
-            # the CURRENT ray direction -> computed here, applied in
-            # shade_light after the blend update (matching the
-            # original ordering: miss lanes never update blend)
+            # the CURRENT ray direction
             if bounce == 0:
                 base = jnp.maximum(
                     1e-38,
@@ -1212,31 +1238,24 @@ def _make_kernel(
                     jnp.log(base)
                     / jnp.maximum(sun_size * sun_size, 1e-12)
                 )
-                g["sky"] = (
+                sky_c = (
                     sky[0] + sun_col[0] * glow,
                     sky[1] + sun_col[1] * glow,
                     sky[2] + sun_col[2] * glow,
                 )
             else:
-                g["sky"] = (zf + sky[0], zf + sky[1], zf + sky[2])
+                sky_c = (zf + sky[0], zf + sky[1], zf + sky[2])
 
-        def shade_light(g, obst_i):
-            """Occlusion-gated sun add, blend update, miss shading,
-            next-ray selection."""
-            hit = g["hit"]
-            spec_sel, diff_sel = g["spec_sel"], g["diff_sel"]
-            col_r, col_g, col_b = g["col_r"], g["col_g"], g["col_b"]
-            sun_gate = diff_sel & (obst_i == 0) & sun_on
-            ct = g["cos_term"]
-            g["sample_r"] += jnp.where(
-                sun_gate, sun_col[0] * col_r * g["blend_r"] * ct, 0.0
-            )
-            g["sample_g"] += jnp.where(
-                sun_gate, sun_col[1] * col_g * g["blend_g"] * ct, 0.0
-            )
-            g["sample_b"] += jnp.where(
-                sun_gate, sun_col[2] * col_b * g["blend_b"] * ct, 0.0
-            )
+            # The occlusion-gated sun add waits for the paired shadow
+            # traversal (shade_light) and multiplies THIS bounce's
+            # pre-update blend — saved here so the blend update, miss
+            # shading and next-ray selection can all complete now (the
+            # sun add touches a disjoint lane set from the miss add,
+            # so the deferred ordering is bit-identical).
+            g["lt_diff"] = diff_sel
+            g["lt_ct"] = cos_term
+            g["lt_col"] = (col_r, col_g, col_b)
+            g["lt_blend"] = (g["blend_r"], g["blend_g"], g["blend_b"])
 
             bf_spec = 2.0 * g["spec_dot"]
             dd = g["diff_dot"]
@@ -1257,15 +1276,13 @@ def _make_kernel(
             )
 
             miss = (g["alive"] == 1) & (~hit)
-            g["sample_r"] += jnp.where(miss, g["sky"][0] * g["blend_r"], 0.0)
-            g["sample_g"] += jnp.where(miss, g["sky"][1] * g["blend_g"], 0.0)
-            g["sample_b"] += jnp.where(miss, g["sky"][2] * g["blend_b"], 0.0)
+            g["sample_r"] += jnp.where(miss, sky_c[0] * g["blend_r"], 0.0)
+            g["sample_g"] += jnp.where(miss, sky_c[1] * g["blend_g"], 0.0)
+            g["sample_b"] += jnp.where(miss, sky_c[2] * g["blend_b"], 0.0)
 
             g["alive"] = g["alive"] * hit.astype(jnp.int32)
 
             # next ray
-            rfx, rfy, rfz = g["rf"]
-            hmx, hmy, hmz = g["hm"]
             g["rdx"] = jnp.where(
                 spec_sel, rfx, jnp.where(diff_sel, hmx, g["rdx"])
             )
@@ -1275,28 +1292,70 @@ def _make_kernel(
             g["rdz"] = jnp.where(
                 spec_sel, rfz, jnp.where(diff_sel, hmz, g["rdz"])
             )
-            sox, soy, soz = g["s_ray"][0]
             g["rox"] = jnp.where(hit, sox, g["rox"])
             g["roy"] = jnp.where(hit, soy, g["roy"])
             g["roz"] = jnp.where(hit, soz, g["roz"])
 
-        for bounce in range(max_bounces):
-            results, it_b = traverse_qn(
-                table_ref, meta_ref, brick_ref,
-                [
-                    (
-                        (g["rox"], g["roy"], g["roz"]),
-                        (g["rdx"], g["rdy"], g["rdz"]),
-                        g["alive"] == 1,
-                    )
-                    for g in G
-                ],
-                fine_dma=fine_dma,
+        def shade_light(g, obst_i):
+            """Deferred occlusion-gated sun add for the bounce whose
+            shadow rays just resolved (all other shading completed at
+            shade_hit time against the saved pre-update blend)."""
+            sun_gate = g["lt_diff"] & (obst_i == 0) & sun_on
+            ct = g["lt_ct"]
+            cr, cg, cb = g["lt_col"]
+            br, bg, bb = g["lt_blend"]
+            g["sample_r"] += jnp.where(
+                sun_gate, sun_col[0] * cr * br * ct, 0.0
             )
-            iter_counts.append(it_b)
+            g["sample_g"] += jnp.where(
+                sun_gate, sun_col[1] * cg * bg * ct, 0.0
+            )
+            g["sample_b"] += jnp.where(
+                sun_gate, sun_col[2] * cb * bb * ct, 0.0
+            )
+
+        for bounce in range(max_bounces):
+            brays = [
+                (
+                    (g["rox"], g["roy"], g["roz"]),
+                    (g["rdx"], g["rdy"], g["rdz"]),
+                    g["alive"] == 1,
+                )
+                for g in G
+            ]
+            if MERGE_SHADOW and bounce > 0:
+                # the previous bounce's shadow rays ride this march as
+                # extra queue entries: 4 while loops/frame instead of
+                # 6, and 2x the rays per lane to average the
+                # divergence tail over
+                res_all, it_b = traverse_qn(
+                    table_ref, meta_ref, brick_ref,
+                    [g["s_ray"] for g in G] + brays,
+                    fine_dma=fine_dma,
+                )
+                iter_counts.append(it_b)
+                for g, sres in zip(G, res_all[: len(G)]):
+                    shade_light(g, sres[0])
+                results = res_all[len(G) :]
+            else:
+                results, it_b = traverse_qn(
+                    table_ref, meta_ref, brick_ref, brays,
+                    fine_dma=fine_dma,
+                )
+                iter_counts.append(it_b)
             for g, res in zip(G, results):
                 shade_hit(g, res, bounce)
+            if not MERGE_SHADOW:
+                sresults, it_s = traverse_qn(
+                    table_ref, meta_ref, brick_ref,
+                    [g["s_ray"] for g in G], fine_dma=fine_dma,
+                )
+                iter_counts.append(it_s)
+                for g, sres in zip(G, sresults):
+                    shade_light(g, sres[0])
 
+        if MERGE_SHADOW:
+            # the last bounce's shadow rays get their own (final) phase
             sresults, it_s = traverse_qn(
                 table_ref, meta_ref, brick_ref,
                 [g["s_ray"] for g in G], fine_dma=fine_dma,
@@ -1377,17 +1436,21 @@ def render_sample(
     """Trace one sample with the Pallas kernel; same output dict as
     :func:`voxtracer.ops.trace_xla.render_sample` (H, W shapes).
     ``noise_q`` is the tiny periodic quad table from
-    :func:`noise_quads` — no full-image noise planes exist anywhere."""
-    hp = _pad_to(height, BLOCK)
-    nbx0 = _pad_to(width, BLOCK) // BLOCK
+    :func:`noise_quads` — no full-image noise planes exist anywhere.
+    The lane-tile height is DERIVED from the quad shape (axis 3), so
+    callers pick it once, at noise_quads time (pick_tile)."""
+    tile_h = int(noise_q.shape[3])
+    block = BLOCK_OF[tile_h]
+    hp = _pad_to(height, block)
+    nbx0 = _pad_to(width, block) // block
     # largest queue depth <= the cap whose width padding stays small
     q = 1
     for cand in range(1, min(Q_BLOCKS, nbx0) + 1):
         if -(-nbx0 // cand) * cand <= nbx0 + max(1, nbx0 // 16):
             q = cand
-    wp = _pad_to(width, q * BLOCK)
-    nby, nbx = hp // BLOCK, wp // BLOCK
-    P = 128 // BLOCK
+    wp = _pad_to(width, q * block)
+    nby, nbx = hp // block, wp // block
+    P = 128 // block
 
     grid = (nby, nbx // q)
     # brick table layout is content-addressed dedup (3 parallel tables:
@@ -1398,13 +1461,14 @@ def render_sample(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         max_bounces=max_bounces, fine_in_hbm=fine_in_hbm,
         nbx2=nbx // 2, q_blocks=q, brick_dedup=brick_dedup,
+        tile_h=tile_h,
     )
 
-    plane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.float32)
-    iplane = jax.ShapeDtypeStruct((nby * TILE_H, nbx * TILE_W), jnp.int32)
-    # each program writes a (TILE_H, q*TILE_W) block: q pixel groups
+    plane = jax.ShapeDtypeStruct((nby * tile_h, nbx * TILE_W), jnp.float32)
+    iplane = jax.ShapeDtypeStruct((nby * tile_h, nbx * TILE_W), jnp.int32)
+    # each program writes a (tile_h, q*TILE_W) block: q pixel groups
     tile_spec = pl.BlockSpec(
-        (TILE_H, q * TILE_W), lambda i, j: (i, j),
+        (tile_h, q * TILE_W), lambda i, j: (i, j),
         memory_space=pltpu.VMEM,
     )
     full = lambda shape: pl.BlockSpec(
@@ -1446,9 +1510,9 @@ def render_sample(
             full(tuple(int(d) for d in brick_idx.shape)),
             full((8, 128)),
             pl.BlockSpec(
-                # both x-quadrants ride along: group q is [k, 0, q]
-                # (with BLOCK == 64, P == 2, block x-parity IS q)
-                (24, 1, 2, TILE_H, TILE_W),
+                # all x-quadrants ride along: group q reads x-parity
+                # (block col) % P of its y-parity row
+                (24, 1, P, tile_h, TILE_W),
                 lambda i, j: (0, i % P, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -1468,14 +1532,14 @@ def render_sample(
         if FARPAIR:
             # program j wrote pixel blocks (j, j+nbx/2) into the
             # adjacent block-column pair (2j, 2j+1): un-interleave
-            b = a.reshape(nby, TILE_H, nbx // 2, 2, TILE_W)
+            b = a.reshape(nby, tile_h, nbx // 2, 2, TILE_W)
             a = jnp.concatenate(
                 [b[:, :, :, 0, :], b[:, :, :, 1, :]], axis=2
-            ).reshape(nby * TILE_H, nbx * TILE_W)
+            ).reshape(nby * tile_h, nbx * TILE_W)
         img = (
-            a.reshape(nby, TILE_H, nbx, TILE_W)
+            a.reshape(nby, tile_h, nbx, TILE_W)
             .transpose(0, 2, 1, 3)  # (i, j, r, c)
-            .reshape(nby, nbx, BLOCK, BLOCK)  # lane -> (y, x)
+            .reshape(nby, nbx, block, block)  # lane -> (y, x)
             .transpose(0, 2, 1, 3)  # (i, y, j, x)
             .reshape(hp, wp)
         )
@@ -1491,7 +1555,7 @@ def render_sample(
         # half-block, phase k = paired [b0, s0, b1, s1, b2, s2],
         # counter c: 0 outer iters, 1 meta serve rounds, 2 brick serve
         # rounds, 3 fine-resolve serve rounds, 4 live-lane integral
-        "debug_iters": dbg[::TILE_H, :].reshape(
+        "debug_iters": dbg[::tile_h, :].reshape(
             nby, nbx // q, q * TILE_W
         )[..., :30].reshape(nby * (nbx // q), 30),
     }
