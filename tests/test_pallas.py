@@ -116,6 +116,40 @@ def test_pallas_full_tile_matches_oracle():
     _compare(scene, cam, w=128, h=128, tile_h=128)
 
 
+def test_pallas_row_rectangle_matches_oracle(monkeypatch):
+    """Cross-row ray queues (VOX_QROWS > 1): each program owns a
+    2 x c RECTANGLE of pixel blocks, queueing both block-rows' rays in
+    one lane queue.  Must agree with the oracle exactly like the
+    default one-row layout (covers the (block row % P) noise parity
+    and the rectangular output writes)."""
+    monkeypatch.setattr(trace_pallas, "Q_ROWS", 2)
+    # Q_ROWS is a module global, invisible to the jit cache key —
+    # drop cached specializations so the new layout actually traces
+    trace_pallas.render_sample.clear_cache()
+    vl = VoxelList(
+        pos=np.array(
+            [[0, 0, 0], [2, 1, 0], [1, 0, 3], [-2, 1, 1]], dtype=np.int16
+        ),
+        mrgb=np.array(
+            [
+                [0, 200, 100, 50],
+                [0x40, 255, 10, 10],
+                [0, 10, 255, 10],
+                [0, 90, 90, 240],
+            ],
+            dtype=np.uint8,
+        ),
+    )
+    scene = GridScene.from_voxels(vl)
+    cam = Camera(position=np.array([0.3, 0.2, -1.5]))
+    try:
+        _compare(scene, cam, w=128, h=128)
+    finally:
+        # don't leak the 2-row specialization to later tests (the
+        # cache key can't see Q_ROWS)
+        trace_pallas.render_sample.clear_cache()
+
+
 def test_pallas_legacy_brick_tables_match_oracle(monkeypatch):
     """Scenes with more unique (mask, slot) bricks than
     BRICK_DEDUP_MAX keep per-node (2, rows, 128) brick tables with the

@@ -96,10 +96,18 @@ FARPAIR = _os.environ.get("VOX_FARPAIR", "0") == "1"
 # mean ray length: menger 720p measured 49.1/48.0/42.8/37.8/35.3 ms
 # at Q=2/3/4/10/20.  render_sample picks the largest Q <= cap whose
 # padding stays small for the image width.
-Q_BLOCKS = int(_os.environ.get("VOX_QBLOCKS", 20))
+Q_BLOCKS = int(_os.environ.get("VOX_QBLOCKS", 30))  # 1080p: 30 beats
+# 15 (17.3 vs 18.6 ms); 720p unaffected (20 block-columns total)
 # DDA steps per queue swap: >1 halves the (N-1)-deep init-select
 # chains at the cost of finished lanes idling <= QSWAP-1 steps.
 QSWAP = int(_os.environ.get("VOX_QSWAP", 1))
+# Block-rows of the image per grid program: each program's ray queue
+# spans an r x c RECTANGLE of pixel blocks (q = r*c rays per lane),
+# deepening the queue beyond the image's width in blocks.  Measured
+# WORSE than same-depth column queues (menger 720p r2: 17.7 vs 17.3;
+# monu9 1080p r2 q30: 19.9 vs column q30 17.3 — cross-row queues lose
+# serve locality), so the default stays one row; kept as a probe knob.
+Q_ROWS = int(_os.environ.get("VOX_QROWS", 1))
 # Shadow rays of bounce b-1 ride bounce b's march as extra queue
 # entries: 4 traversal while-loops per frame instead of 6, and the
 # divergence tail averages over 2x the rays per lane.  Measured WORSE
@@ -1000,8 +1008,8 @@ def _make_traverse(
 
 def _make_kernel(
     dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
-    max_bounces=MAX_BOUNCES, fine_in_hbm=False, nbx2=1, q_blocks=2,
-    brick_dedup=True, tile_h=TILE_H,
+    max_bounces=MAX_BOUNCES, fine_in_hbm=False, nbx2=1, q_cols=2,
+    q_rows=1, brick_dedup=True, tile_h=TILE_H,
 ):
     traverse, traverse_qn = _make_traverse(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
@@ -1009,8 +1017,11 @@ def _make_kernel(
     )
     block = BLOCK_OF[tile_h]
     p_par = 128 // block  # noise-quad parity period per axis
+    q_blocks = q_rows * q_cols  # rays queued per lane
 
-    assert not (FARPAIR and q_blocks != 2), "VOX_FARPAIR needs Q=2"
+    assert not (FARPAIR and (q_cols, q_rows) != (2, 1)), (
+        "VOX_FARPAIR needs a 1x2 program rectangle"
+    )
 
     def kernel(
         params_ref,  # (1, PARAMS_LEN) f32 SMEM
@@ -1068,13 +1079,21 @@ def _make_kernel(
         nsx, nsy, nsz = P(27), P(28), P(29)
         sun_on = sun_strength > 0.0
 
-        def noise(k, q):
-            # x-parity of group q's pixel block (dynamic scalar)
+        def block_rc(q):
+            """Group q's (block-row, block-col) in the image block
+            grid; the program owns a q_rows x q_cols rectangle."""
+            rr, cc = divmod(q, q_cols)
+            bi = ti * q_rows + rr
             if FARPAIR:
-                par = (tj + q * nbx2) % p_par
+                bj = tj + cc * nbx2
             else:
-                par = (tj * q_blocks + q) % p_par
-            return noise_ref[k, 0, par, :, :]
+                bj = tj * q_cols + cc
+            return bi, bj
+
+        def noise(k, q):
+            # (y, x)-parity of group q's pixel block (dynamic scalars)
+            bi, bj = block_rc(q)
+            return noise_ref[k, bi % p_par, bj % p_par, :, :]
 
         def slot_color(slot_vals):
             node = _flat_gather_1024(palette_ref[:, :], slot_vals)
@@ -1094,13 +1113,9 @@ def _make_kernel(
         # recovering the measured 90%+ divergence-tail waste.
         G = []
         for q in range(q_blocks):
-            if FARPAIR:
-                # group q block: tj (q=0) / tj + nbx2 (q=1)
-                bj = tj + q * nbx2
-            else:
-                bj = tj * q_blocks + q
+            bi, bj = block_rc(q)
             px = (bj * block + (lane % block)).astype(jnp.float32)
-            py = (ti * block + (lane // block)).astype(jnp.float32) + P(30)
+            py = (bi * block + (lane // block)).astype(jnp.float32) + P(30)
             rdx = px * right[0] - py * up[0] + fwd[0]
             rdy = px * right[1] - py * up[1] + fwd[1]
             rdz = px * right[2] - py * up[2] + fwd[2]
@@ -1366,20 +1381,22 @@ def _make_kernel(
 
         for q in range(q_blocks):
             g = G[q]
-            sl = slice(q * TILE_W, (q + 1) * TILE_W)
-            color_r_ref[:, sl] = g["sample_r"] / g["ambient"]
-            color_g_ref[:, sl] = g["sample_g"] / g["ambient"]
-            color_b_ref[:, sl] = g["sample_b"] / g["ambient"]
-            normal_x_ref[:, sl] = g["first_nx"]
-            normal_y_ref[:, sl] = g["first_ny"]
-            normal_z_ref[:, sl] = g["first_nz"]
-            depth_ref[:, sl] = g["first_t"]
-            nodeid_ref[:, sl] = g["first_node"]
+            rr, cc = divmod(q, q_cols)
+            rs = slice(rr * tile_h, (rr + 1) * tile_h)
+            sl = slice(cc * TILE_W, (cc + 1) * TILE_W)
+            color_r_ref[rs, sl] = g["sample_r"] / g["ambient"]
+            color_g_ref[rs, sl] = g["sample_g"] / g["ambient"]
+            color_b_ref[rs, sl] = g["sample_b"] / g["ambient"]
+            normal_x_ref[rs, sl] = g["first_nx"]
+            normal_y_ref[rs, sl] = g["first_ny"]
+            normal_z_ref[rs, sl] = g["first_nz"]
+            depth_ref[rs, sl] = g["first_t"]
+            nodeid_ref[rs, sl] = g["first_node"]
             emiss_first = (g["first_node"] & EMISSIVE_BIT) != 0
             fr, fg, fb = node_rgb(g["first_node"])
-            albedo_r_ref[:, sl] = jnp.where(emiss_first, 1.0, fr)
-            albedo_g_ref[:, sl] = jnp.where(emiss_first, 1.0, fg)
-            albedo_b_ref[:, sl] = jnp.where(emiss_first, 1.0, fb)
+            albedo_r_ref[rs, sl] = jnp.where(emiss_first, 1.0, fr)
+            albedo_g_ref[rs, sl] = jnp.where(emiss_first, 1.0, fg)
+            albedo_b_ref[rs, sl] = jnp.where(emiss_first, 1.0, fb)
 
         # per-phase counters at lane (0, 6*c + k) of the group-0 block:
         # phase k = [b0, s0, b1, s1, b2, s2] pairs, counter c: 0 outer
@@ -1393,9 +1410,13 @@ def _make_kernel(
                     ctr.astype(jnp.float32),
                     dbg,
                 )
-        debug_ref[:, :TILE_W] = dbg
+        debug_ref[:tile_h, :TILE_W] = dbg
         for q in range(1, q_blocks):
-            debug_ref[:, q * TILE_W : (q + 1) * TILE_W] = zf
+            rr, cc = divmod(q, q_cols)
+            debug_ref[
+                rr * tile_h : (rr + 1) * tile_h,
+                cc * TILE_W : (cc + 1) * TILE_W,
+            ] = zf
 
     return kernel
 
@@ -1441,9 +1462,15 @@ def render_sample(
     callers pick it once, at noise_quads time (pick_tile)."""
     tile_h = int(noise_q.shape[3])
     block = BLOCK_OF[tile_h]
-    hp = _pad_to(height, block)
+    # q_rows block-rows per program (height padding must stay small:
+    # a full wasted block-row is real traced work)
+    q_rows = 1
+    for cand in range(1, Q_ROWS + 1):
+        if _pad_to(height, cand * block) <= _pad_to(height, block) + block:
+            q_rows = cand
+    hp = _pad_to(height, q_rows * block)
     nbx0 = _pad_to(width, block) // block
-    # largest queue depth <= the cap whose width padding stays small
+    # largest column count <= the cap whose width padding stays small
     q = 1
     for cand in range(1, min(Q_BLOCKS, nbx0) + 1):
         if -(-nbx0 // cand) * cand <= nbx0 + max(1, nbx0 // 16):
@@ -1452,7 +1479,7 @@ def render_sample(
     nby, nbx = hp // block, wp // block
     P = 128 // block
 
-    grid = (nby, nbx // q)
+    grid = (nby // q_rows, nbx // q)
     # brick table layout is content-addressed dedup (3 parallel tables:
     # mask lo / mask hi / uniform slot) vs per-node (2 tables) — the
     # mode is carried by the leading axis (scene/grid.py _pack_nodes)
@@ -1460,15 +1487,16 @@ def render_sample(
     kernel = _make_kernel(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         max_bounces=max_bounces, fine_in_hbm=fine_in_hbm,
-        nbx2=nbx // 2, q_blocks=q, brick_dedup=brick_dedup,
-        tile_h=tile_h,
+        nbx2=nbx // 2, q_cols=q, q_rows=q_rows,
+        brick_dedup=brick_dedup, tile_h=tile_h,
     )
 
     plane = jax.ShapeDtypeStruct((nby * tile_h, nbx * TILE_W), jnp.float32)
     iplane = jax.ShapeDtypeStruct((nby * tile_h, nbx * TILE_W), jnp.int32)
-    # each program writes a (tile_h, q*TILE_W) block: q pixel groups
+    # each program writes a (q_rows*tile_h, q*TILE_W) rectangle:
+    # q_rows*q pixel groups
     tile_spec = pl.BlockSpec(
-        (tile_h, q * TILE_W), lambda i, j: (i, j),
+        (q_rows * tile_h, q * TILE_W), lambda i, j: (i, j),
         memory_space=pltpu.VMEM,
     )
     full = lambda shape: pl.BlockSpec(
@@ -1510,10 +1538,10 @@ def render_sample(
             full(tuple(int(d) for d in brick_idx.shape)),
             full((8, 128)),
             pl.BlockSpec(
-                # all x-quadrants ride along: group q reads x-parity
-                # (block col) % P of its y-parity row
-                (24, 1, P, tile_h, TILE_W),
-                lambda i, j: (0, i % P, 0, 0, 0),
+                # the full parity table rides along: group q reads
+                # (block row % P, block col % P) of the P x P quads
+                (24, P, P, tile_h, TILE_W),
+                lambda i, j: (0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -1555,7 +1583,7 @@ def render_sample(
         # half-block, phase k = paired [b0, s0, b1, s1, b2, s2],
         # counter c: 0 outer iters, 1 meta serve rounds, 2 brick serve
         # rounds, 3 fine-resolve serve rounds, 4 live-lane integral
-        "debug_iters": dbg[::tile_h, :].reshape(
-            nby, nbx // q, q * TILE_W
-        )[..., :30].reshape(nby * (nbx // q), 30),
+        "debug_iters": dbg[:: q_rows * tile_h, :].reshape(
+            nby // q_rows, nbx // q, q * TILE_W
+        )[..., :30].reshape((nby // q_rows) * (nbx // q), 30),
     }
