@@ -10,9 +10,11 @@ serves taps **by offset**: each round min-reduces the pending offset
 keys to a scalar, rotates the channel-stacked history window by that
 offset (``pltpu.roll`` with a dynamic positive shift — Mosaic forbids
 unaligned dynamic vector slices, and negative dynamic roll shifts
-mis-lower on this chip), reads the four taps as static slices, and
-retires every lane sharing that offset.  No gathers anywhere.  Smooth
-motion ⇒ ~4-16 rounds per tile.
+mis-lower on this chip), then retires every lane whose offset falls in
+the ``SERVE_NY x SERVE_NX`` rectangle anchored there — the extra
+offsets are static slices of the same rolled band, so one roll + one
+reduce serve the whole cluster.  No gathers anywhere.  Smooth motion ⇒
+~1-4 rounds per tile.
 
 Lanes whose offset exceeds the window margin M or that remain unserved
 at the round cap report invalid — the blend treats them like a failed
@@ -32,18 +34,40 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 32
+import os as _os
+
+TILE_H = int(_os.environ.get("VOX_REPRO_TILE_H", 32))
 TILE_W = 128
 MARGIN = 24  # max |integer offset| served; beyond -> invalid history
-WIN_H = 96  # covers tile +- MARGIN with an 8-aligned origin + slices
-WIN_W = 3 * TILE_W  # centered 128-aligned origin; slices need a tile of slack
+# window rows: the worst-case tap row is wy_max + TILE_H + 1 where
+# wy_max = MARGIN + 31 (offset + 8-alignment residual of the origin)
+WIN_H = -(-(MARGIN + 31 + TILE_H + 2) // 8) * 8
+WIN_W = TILE_W + 2 * 128  # 128-aligned origin; slices need tile slack
 # history is edge-padded by (PAD_Y, PAD_X) so window origins never clamp
 # at image borders (replicated padding == clamp-to-edge sampling)
 PAD_Y = 40
-PAD_X = TILE_W
-BAND_H = TILE_H + 8  # 8-aligned row band sliced around a served offset
-MAX_ROUNDS = 48
+PAD_X = 128
+MAX_ROUNDS = int(_os.environ.get("VOX_REPRO_ROUNDS", 48))
 BIG = np.int32(1 << 30)
+# Offsets served per round: a round retires the whole
+# [sy, sy+SERVE_NY) x [sx, sx+SERVE_NX) offset rectangle anchored at
+# the min pending key (the anchor lane itself is always in the
+# rectangle, guaranteeing progress).  Static slices of the rolled band
+# feed each extra offset — no extra rolls or reduces.  Measured WORSE
+# than 1x1 on a 1080p zoom+pan field (2x1: 23.3, 2x2: 23.5, 4x2: 26.6
+# vs 21.8 ms): the per-round tap fan-out outweighs the round savings,
+# so the default serves one offset; kept as oracle-parity-tested
+# probe knobs.
+SERVE_NY = int(_os.environ.get("VOX_REPRO_NY", 1))
+SERVE_NX = int(_os.environ.get("VOX_REPRO_NX", 1))
+# 8-aligned row band sliced around a served offset; must fit the tile,
+# the +1 bilinear row, the y-offset fan-out and the <=7 residual
+BAND_H = -(-(TILE_H + 1 + (SERVE_NY - 1) + 7) // 8) * 8
+# wy <= MARGIN + 31 by construction, so the band start sy8 <= 48 and
+# the band must end inside the window
+assert ((MARGIN + 31) >> 3 << 3) + BAND_H <= WIN_H, (
+    "SERVE_NY too large for WIN_H"
+)
 
 
 def _make_kernel(height, width, img_h, img_w, channels):
@@ -114,11 +138,6 @@ def _make_kernel(height, width, img_h, img_w, channels):
         dx1 = x1 - x0  # 0 at the right edge (clamped), else 1
         dy1 = y1 - y0
 
-        w00 = (1.0 - tx) * (1.0 - ty)
-        w10 = tx * (1.0 - ty)
-        w01 = (1.0 - tx) * ty
-        w11 = tx * ty
-
         for cp in copies:
             cp.wait()
 
@@ -134,15 +153,15 @@ def _make_kernel(height, width, img_h, img_w, channels):
 
         def body(s):
             k, served_ = s[0], s[1]
-            accs = s[2:]
-            pend = jnp.where(served_ == 0, key, BIG)
+            accs = list(s[2:])
+            pend_ = served_ == 0
+            pend = jnp.where(pend_, key, BIG)
             skey = jnp.min(pend)
             sy = skey // np.int32(WIN_W + 1)
             sx = skey - sy * np.int32(WIN_W + 1)
-            sel = key == skey
             # Rotates are log2(n)-pass shift networks — keep the
-            # rotated working set small: slice an 8-aligned 40-row
-            # band per channel and a 128-aligned 256-col band (aligned
+            # rotated working set small: slice an 8-aligned row band
+            # per channel and a 128-aligned 256-col band (aligned
             # dynamic slices are legal), then rotate only the residual
             # (reads stay inside each channel's band, so the circular
             # wrap never contaminates across channels).
@@ -159,27 +178,41 @@ def _make_kernel(height, width, img_h, img_w, channels):
             )
             rolled = pltpu.roll(band, np.int32(channels * BAND_H) - syr, 0)
             rolled = pltpu.roll(rolled, np.int32(256) - sxr, 1)
-            outs = []
+            # serve the [sy, sy+NY) x [sx, sx+NX) offset rectangle:
+            # x-interp rows T[c][a][dx] once per (tap row a, col
+            # offset dx) — shared between the vertical offsets d and
+            # d+1 — then y-interp per served offset
+            T = [
+                [[None] * SERVE_NX for _ in range(SERVE_NY + 1)]
+                for _ in range(channels)
+            ]
             for c in range(channels):
-                blk = rolled[c * BAND_H : c * BAND_H + TILE_H + 1, : TILE_W + 1]
-                s00 = blk[:TILE_H, :TILE_W]
-                s10 = blk[:TILE_H, 1:]
-                s01 = blk[1:, :TILE_W]
-                s11 = blk[1:, 1:]
-                # edge-clamped taps: where x1==x0 / y1==y0 the +1
-                # slice read a neighbor the clamp forbids; select the
-                # shared tap00-side value back in
-                t10 = jnp.where(dx1 == 1, s10, s00)
-                t01 = jnp.where(dy1 == 1, s01, s00)
-                t11 = jnp.where(
-                    (dx1 == 1) & (dy1 == 1),
-                    s11,
-                    jnp.where(dx1 == 1, s10, jnp.where(dy1 == 1, s01, s00)),
-                )
-                v = w00 * s00 + w10 * t10 + w01 * t01 + w11 * t11
-                outs.append(jnp.where(sel, v, accs[c]))
-            served_ = jnp.where(sel, 1, served_)
-            return (k + 1, served_) + tuple(outs)
+                for a in range(SERVE_NY + 1):
+                    row = rolled[
+                        c * BAND_H + a : c * BAND_H + a + TILE_H, :
+                    ]
+                    for dx in range(SERVE_NX):
+                        s0 = row[:, dx : dx + TILE_W]
+                        s1 = row[:, dx + 1 : dx + 1 + TILE_W]
+                        # edge-clamped +1 col: where x1==x0 the right
+                        # tap re-reads the shared column
+                        t1 = jnp.where(dx1 == 1, s1, s0)
+                        T[c][a][dx] = s0 * (1.0 - tx) + t1 * tx
+            for d in range(SERVE_NY):
+                for dx in range(SERVE_NX):
+                    # dx > 0 taps must not read past the unwrapped
+                    # part of the circular x-roll: the last tap col is
+                    # dx + TILE_W, valid while sxr <= 127 - dx
+                    sel = pend_ & (wy == sy + d) & (wx == sx + dx)
+                    if dx > 0:
+                        sel = sel & (sxr <= np.int32(127 - dx))
+                    for c in range(channels):
+                        top, bot = T[c][d][dx], T[c][d + 1][dx]
+                        t1 = jnp.where(dy1 == 1, bot, top)
+                        v = top * (1.0 - ty) + t1 * ty
+                        accs[c] = jnp.where(sel, v, accs[c])
+                    served_ = jnp.where(sel, 1, served_)
+            return (k + 1, served_) + tuple(accs)
 
         out = jax.lax.while_loop(cond, body, (np.int32(0), served) + tuple(acc))
         served = out[1]
@@ -211,13 +244,12 @@ def resample(
         hist = jnp.pad(hist, ((0, 0), (0, hp - height), (0, wp - width)))
         px_f = jnp.pad(px_f, ((0, hp - height), (0, wp - width)))
         py_f = jnp.pad(py_f, ((0, hp - height), (0, wp - width)))
-    # replicated border: window reads outside the image see the edge
-    # value, which is exactly clamp-to-edge sampling
-    hist = jnp.pad(
-        hist,
-        ((0, 0), (PAD_Y, PAD_Y), (PAD_X, PAD_X)),
-        mode="edge",
-    )
+    # border pad keeps window DMAs in bounds; its CONTENTS are never
+    # read (every tap index is clamped to the true image bounds before
+    # the window offset is formed), so cheap zero padding suffices —
+    # mode="edge" here measured 24 ms/frame at 1080p (XLA lowers
+    # replicated pads abysmally on TPU) for values nobody looks at
+    hist = jnp.pad(hist, ((0, 0), (PAD_Y, PAD_Y), (PAD_X, PAD_X)))
 
     grid = (hp // TILE_H, wp // TILE_W)
     kernel = _make_kernel(hp, wp, height, width, channels)
