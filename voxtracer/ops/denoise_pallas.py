@@ -24,8 +24,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 32
-TILE_W = 128
+import os as _os
+
+# (64, 256) tiles quarter the program count vs (32, 128) and shrink
+# the halo DMA per covered pixel; sweepable for perf probes.
+TILE_H = int(_os.environ.get("VOX_DEN_TILE_H", 64))
+TILE_W = int(_os.environ.get("VOX_DEN_TILE_W", 256))
 
 # stacked-channel indices
 _CR, _CG, _CB, _NX, _NY, _NZ, _LOGD, _MAT, _AR, _AG, _AB, _VALID = range(12)

@@ -96,8 +96,7 @@ FARPAIR = _os.environ.get("VOX_FARPAIR", "0") == "1"
 # mean ray length: menger 720p measured 49.1/48.0/42.8/37.8/35.3 ms
 # at Q=2/3/4/10/20.  render_sample picks the largest Q <= cap whose
 # padding stays small for the image width.
-Q_BLOCKS = int(_os.environ.get("VOX_QBLOCKS", 30))  # 1080p: 30 beats
-# 15 (17.3 vs 18.6 ms); 720p unaffected (20 block-columns total)
+Q_BLOCKS = int(_os.environ.get("VOX_QBLOCKS", 30))
 # DDA steps per queue swap: >1 halves the (N-1)-deep init-select
 # chains at the cost of finished lanes idling <= QSWAP-1 steps.
 QSWAP = int(_os.environ.get("VOX_QSWAP", 1))
@@ -1470,9 +1469,16 @@ def render_sample(
             q_rows = cand
     hp = _pad_to(height, q_rows * block)
     nbx0 = _pad_to(width, block) // block
+    # Queue-depth cap: ~20-30 rays/lane is the measured sweet spot —
+    # deeper queues pay a per-iteration qidx select chain that beats
+    # the divergence-tail savings (4K castle: q=30 42 ms vs q=20
+    # 35.9).  Wide images (>32 block columns) split each row into
+    # ~20-block programs; narrower ones may take the full row (1080p:
+    # q=30 17.3 ms beats its only alternative q=15 at 18.6).
+    cap = Q_BLOCKS if nbx0 <= 32 else min(Q_BLOCKS, 20)
     # largest column count <= the cap whose width padding stays small
     q = 1
-    for cand in range(1, min(Q_BLOCKS, nbx0) + 1):
+    for cand in range(1, min(cap, nbx0) + 1):
         if -(-nbx0 // cand) * cand <= nbx0 + max(1, nbx0 // 16):
             q = cand
     wp = _pad_to(width, q * block)
