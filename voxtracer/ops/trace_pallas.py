@@ -449,8 +449,10 @@ def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
 
 def _make_traverse(
     dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
-    fine_in_hbm=False, brick_dedup=True,
+    fine_in_hbm=False, brick_dedup=True, qswap=None,
 ):
+    if qswap is None:
+        qswap = QSWAP
     """Build the in-kernel node-DDA traversal closure.
 
     One logical node per 4x4x4 fine-cell block — the TPU shape of an
@@ -951,10 +953,10 @@ def _make_traverse(
             mst = s[MST0:REC0]
             recs = s[REC0:SAV0]
             saved = s[SAV0 : SAV0 + 3 * (N - 1)]
-            # QSWAP march steps per swap: the while cond only ever
+            # qswap march steps per swap: the while cond only ever
             # observes post-swap state, so queue-pending lanes can
             # never be mistaken for done
-            for _ in range(QSWAP):
+            for _ in range(qswap):
                 nserv, nact, nlive, trav, mst, recs = one_step(
                     ray, nserv, nact, nlive, trav, mst, recs
                 )
@@ -962,7 +964,7 @@ def _make_traverse(
                 qidx, ray, trav, recs, saved
             )
             return (
-                (it + QSWAP, nserv, nact, nlive, qidx)
+                (it + qswap, nserv, nact, nlive, qidx)
                 + ray + trav + mst + recs + saved
             )
 
@@ -1008,11 +1010,11 @@ def _make_traverse(
 def _make_kernel(
     dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
     max_bounces=MAX_BOUNCES, fine_in_hbm=False, nbx2=1, q_cols=2,
-    q_rows=1, brick_dedup=True, tile_h=TILE_H,
+    q_rows=1, brick_dedup=True, tile_h=TILE_H, qswap=None,
 ):
     traverse, traverse_qn = _make_traverse(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
-        fine_in_hbm=fine_in_hbm, brick_dedup=brick_dedup,
+        fine_in_hbm=fine_in_hbm, brick_dedup=brick_dedup, qswap=qswap,
     )
     block = BLOCK_OF[tile_h]
     p_par = 128 // block  # noise-quad parity period per axis
@@ -1490,11 +1492,16 @@ def render_sample(
     # mask lo / mask hi / uniform slot) vs per-node (2 tables) — the
     # mode is carried by the leading axis (scene/grid.py _pack_nodes)
     brick_dedup = int(brick_idx.shape[0]) == 3
+    # Deep queues amortize their (N-1)-long swap select chains over
+    # several march steps: q=30 measured 15.5 ms at QSWAP=2 vs 16.8 at
+    # 1 (1080p monu9), while q<=20 measured the opposite sign — swap
+    # cadence scales with queue depth unless pinned by VOX_QSWAP.
+    qswap = QSWAP if "VOX_QSWAP" in _os.environ else (2 if q * q_rows >= 25 else 1)
     kernel = _make_kernel(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         max_bounces=max_bounces, fine_in_hbm=fine_in_hbm,
         nbx2=nbx // 2, q_cols=q, q_rows=q_rows,
-        brick_dedup=brick_dedup, tile_h=tile_h,
+        brick_dedup=brick_dedup, tile_h=tile_h, qswap=qswap,
     )
 
     plane = jax.ShapeDtypeStruct((nby * tile_h, nbx * TILE_W), jnp.float32)
