@@ -1477,7 +1477,11 @@ def render_sample(
     # 35.9).  Wide images (>32 block columns) split each row into
     # ~20-block programs; narrower ones may take the full row (1080p:
     # q=30 17.3 ms beats its only alternative q=15 at 18.6).
-    cap = Q_BLOCKS if nbx0 <= 32 else min(Q_BLOCKS, 20)
+    cap = (
+        Q_BLOCKS
+        if (nbx0 <= 32 or "VOX_QBLOCKS" in _os.environ)
+        else min(Q_BLOCKS, 20)
+    )
     # largest column count <= the cap whose width padding stays small
     q = 1
     for cand in range(1, min(cap, nbx0) + 1):
@@ -1492,11 +1496,12 @@ def render_sample(
     # mask lo / mask hi / uniform slot) vs per-node (2 tables) — the
     # mode is carried by the leading axis (scene/grid.py _pack_nodes)
     brick_dedup = int(brick_idx.shape[0]) == 3
-    # Deep queues amortize their (N-1)-long swap select chains over
-    # several march steps: q=30 measured 15.5 ms at QSWAP=2 vs 16.8 at
-    # 1 (1080p monu9), while q<=20 measured the opposite sign — swap
-    # cadence scales with queue depth unless pinned by VOX_QSWAP.
-    qswap = QSWAP if "VOX_QSWAP" in _os.environ else (2 if q * q_rows >= 25 else 1)
+    # Queues amortize their (N-1)-long swap select chains over two
+    # march steps: q=30 measured 15.5 ms vs 16.8 (1080p monu9), 4K
+    # q=20 32.6 vs 36.8, 720p q=20 exactly neutral (17.27/17.27 over
+    # interleaved pairs) — so 2 is the default cadence everywhere
+    # unless pinned by VOX_QSWAP.
+    qswap = QSWAP if "VOX_QSWAP" in _os.environ else 2
     kernel = _make_kernel(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         max_bounces=max_bounces, fine_in_hbm=fine_in_hbm,
