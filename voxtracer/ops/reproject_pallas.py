@@ -60,6 +60,11 @@ BIG = np.int32(1 << 30)
 # probe knobs.
 SERVE_NY = int(_os.environ.get("VOX_REPRO_NY", 1))
 SERVE_NX = int(_os.environ.get("VOX_REPRO_NX", 1))
+# Resolve the 0..7 y residual with lax.switch (static tap rows, one
+# branch runs) instead of a y shift network over the whole band.
+# Measured WORSE in-frame (12.3 vs 11.4 ms at 1080p dolly — per-round
+# branch dispatch beats the roll it saves); kept as a probe knob.
+Y_SWITCH = _os.environ.get("VOX_REPRO_YSWITCH", "0") == "1"
 # 8-aligned row band sliced around a served offset; must fit the tile,
 # the +1 bilinear row, the y-offset fan-out and the <=7 residual
 BAND_H = -(-(TILE_H + 1 + (SERVE_NY - 1) + 7) // 8) * 8
@@ -176,45 +181,77 @@ def _make_kernel(height, width, img_h, img_w, channels):
                 ],
                 axis=0,
             )
-            rolled = pltpu.roll(band, np.int32(channels * BAND_H) - syr, 0)
-            rolled = pltpu.roll(rolled, np.int32(256) - sxr, 1)
-            # serve the [sy, sy+NY) x [sx, sx+NX) offset rectangle.
-            # Taps are computed per offset with at most a handful of
-            # live temporaries — caching shared interpolants across
-            # offsets measured catastrophic (register spills: 4x2
-            # cached interpolants ran the 1080p resample at 47 ms vs
-            # 11 under a dolly field).
-            for d in range(SERVE_NY):
-                for dx in range(SERVE_NX):
-                    # dx > 0 taps must not read past the unwrapped
-                    # part of the circular x-roll: the last tap col is
-                    # dx + TILE_W, valid while sxr <= 127 - dx
-                    sel = pend_ & (wy == sy + d) & (wx == sx + dx)
-                    if dx > 0:
-                        sel = sel & (sxr <= np.int32(127 - dx))
-                    for c in range(channels):
-                        blk = rolled[
-                            c * BAND_H + d : c * BAND_H + d + TILE_H + 1,
-                            dx : dx + TILE_W + 1,
-                        ]
-                        s00 = blk[:TILE_H, :TILE_W]
-                        s10 = blk[:TILE_H, 1:]
-                        s01 = blk[1:, :TILE_W]
-                        s11 = blk[1:, 1:]
-                        # edge-clamped taps: where x1==x0 / y1==y0 the
-                        # +1 slice read a neighbor the clamp forbids;
-                        # select the shared tap00-side value back in
-                        top = s00 * (1.0 - tx) + jnp.where(
-                            dx1 == 1, s10, s00
-                        ) * tx
-                        bot = s01 * (1.0 - tx) + jnp.where(
-                            dx1 == 1, s11, s01
-                        ) * tx
-                        v = top * (1.0 - ty) + jnp.where(
-                            dy1 == 1, bot, top
-                        ) * ty
-                        accs[c] = jnp.where(sel, v, accs[c])
-                    served_ = jnp.where(sel, 1, served_)
+            if Y_SWITCH:
+                # the y residual is only 0..7: branch on it with
+                # lax.switch and read rows at a STATIC offset — one
+                # branch executes, replacing the (C*BAND_H, 256) y
+                # shift network entirely (the x residual spans 128
+                # values, so x keeps the roll)
+                rolled = pltpu.roll(band, np.int32(256) - sxr, 1)
+            else:
+                rolled = pltpu.roll(
+                    band, np.int32(channels * BAND_H) - syr, 0
+                )
+                rolled = pltpu.roll(rolled, np.int32(256) - sxr, 1)
+
+            def serve_taps(row0, served_b, accs_b):
+                """Serve the offset rectangle with tap rows at the
+                static row offset ``row0`` of each channel's band.
+
+                Taps use at most a handful of live temporaries —
+                caching shared interpolants across offsets measured
+                catastrophic (register spills: 4x2 cached
+                interpolants ran the 1080p resample at 47 ms vs 11
+                under a dolly field)."""
+                accs_b = list(accs_b)
+                for d in range(SERVE_NY):
+                    for dx in range(SERVE_NX):
+                        # dx > 0 taps must not read past the
+                        # unwrapped part of the circular x-roll: the
+                        # last tap col is dx + TILE_W, valid while
+                        # sxr <= 127 - dx
+                        sel = pend_ & (wy == sy + d) & (wx == sx + dx)
+                        if dx > 0:
+                            sel = sel & (sxr <= np.int32(127 - dx))
+                        for c in range(channels):
+                            r0 = c * BAND_H + row0 + d
+                            blk = rolled[
+                                r0 : r0 + TILE_H + 1,
+                                dx : dx + TILE_W + 1,
+                            ]
+                            s00 = blk[:TILE_H, :TILE_W]
+                            s10 = blk[:TILE_H, 1:]
+                            s01 = blk[1:, :TILE_W]
+                            s11 = blk[1:, 1:]
+                            # edge-clamped taps: where x1==x0 /
+                            # y1==y0 the +1 slice read a neighbor the
+                            # clamp forbids; select the shared
+                            # tap00-side value back in
+                            top = s00 * (1.0 - tx) + jnp.where(
+                                dx1 == 1, s10, s00
+                            ) * tx
+                            bot = s01 * (1.0 - tx) + jnp.where(
+                                dx1 == 1, s11, s01
+                            ) * tx
+                            v = top * (1.0 - ty) + jnp.where(
+                                dy1 == 1, bot, top
+                            ) * ty
+                            accs_b[c] = jnp.where(sel, v, accs_b[c])
+                        served_b = jnp.where(sel, 1, served_b)
+                return (served_b,) + tuple(accs_b)
+
+            if Y_SWITCH:
+                res = jax.lax.switch(
+                    syr,
+                    [
+                        (lambda r: lambda: serve_taps(r, served_, accs))(r)
+                        for r in range(8)
+                    ],
+                )
+            else:
+                res = serve_taps(0, served_, accs)
+            served_ = res[0]
+            accs = list(res[1:])
             return (k + 1, served_) + tuple(accs)
 
         out = jax.lax.while_loop(cond, body, (np.int32(0), served) + tuple(acc))
