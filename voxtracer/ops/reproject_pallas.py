@@ -68,11 +68,12 @@ Y_SWITCH = _os.environ.get("VOX_REPRO_YSWITCH", "0") == "1"
 # 8-aligned row band sliced around a served offset; must fit the tile,
 # the +1 bilinear row, the y-offset fan-out and the <=7 residual
 BAND_H = -(-(TILE_H + 1 + (SERVE_NY - 1) + 7) // 8) * 8
-# wy <= MARGIN + 31 by construction, so the band start sy8 <= 48 and
-# the band must end inside the window
-assert ((MARGIN + 31) >> 3 << 3) + BAND_H <= WIN_H, (
-    "SERVE_NY too large for WIN_H"
-)
+# Largest servable tap-row offset: the serve band must start 8-aligned
+# at or below it and still end inside the channel's window rows (the
+# in_win test enforces this bound, so larger offsets simply invalidate
+# history instead of overrunning the scratch window).
+WY_MAX = min(WIN_H - TILE_H - 2, WIN_H - BAND_H + 7)
+assert WY_MAX >= MARGIN, "SERVE_NY too large for WIN_H"
 
 
 def _make_kernel(height, width, img_h, img_w, channels):
@@ -91,8 +92,9 @@ def _make_kernel(height, width, img_h, img_w, channels):
 
         # channels stack along sublanes: (C*WIN_H, WIN_W) scratch, one
         # DMA per channel; a single dynamic roll then serves every
-        # channel at once (taps only read rows [96c, 96c+33), which a
-        # full-stack roll never contaminates across channels)
+        # channel at once (each round's taps stay inside the serving
+        # channel's BAND_H rows, so a full-stack roll never
+        # contaminates across channels)
         copies = [
             pltpu.make_async_copy(
                 hist_ref.at[c, pl.ds(oy, WIN_H), pl.ds(ox, WIN_W)],
@@ -134,7 +136,7 @@ def _make_kernel(height, width, img_h, img_w, channels):
         wx = x0 + PAD_X - ox - lx
         in_win = (
             (wy >= 0)
-            & (wy <= WIN_H - TILE_H - 2)
+            & (wy <= WY_MAX)
             & (wx >= 0)
             & (wx <= WIN_W - TILE_W - 2)
         )

@@ -97,9 +97,11 @@ FARPAIR = _os.environ.get("VOX_FARPAIR", "0") == "1"
 # at Q=2/3/4/10/20.  render_sample picks the largest Q <= cap whose
 # padding stays small for the image width.
 Q_BLOCKS = int(_os.environ.get("VOX_QBLOCKS", 30))
-# DDA steps per queue swap: >1 halves the (N-1)-deep init-select
+# DDA steps per queue swap: >1 amortizes the (N-1)-deep init-select
 # chains at the cost of finished lanes idling <= QSWAP-1 steps.
-QSWAP = int(_os.environ.get("VOX_QSWAP", 1))
+# 2 wins at 1080p q=30 (15.5 vs 16.8 ms) and 4K q=20 (32.6 vs 36.8)
+# and is exactly neutral at 720p q=20 over interleaved pairs.
+QSWAP = int(_os.environ.get("VOX_QSWAP", 2))
 # Block-rows of the image per grid program: each program's ray queue
 # spans an r x c RECTANGLE of pixel blocks (q = r*c rays per lane),
 # deepening the queue beyond the image's width in blocks.  Measured
@@ -122,8 +124,9 @@ BLOCK_OF = {2: 16, 8: 32, 32: 64, 128: 128}
 BLOCK = BLOCK_OF[TILE_H]
 
 
-def pick_tile(height: int, width: int) -> int:
-    """Lane-tile height for an image of the given size.
+def pick_tile(height: int = 0, width: int = 0) -> int:
+    """Lane-tile height; the image size is accepted but currently
+    unused — the choice measured resolution-independent.
 
     Full (128, 128) register planes were probed as an alternative to
     the (32, 128) tile: fewer, larger programs, but a clean in-process
@@ -451,8 +454,6 @@ def _make_traverse(
     dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
     fine_in_hbm=False, brick_dedup=True, qswap=None,
 ):
-    if qswap is None:
-        qswap = QSWAP
     """Build the in-kernel node-DDA traversal closure.
 
     One logical node per 4x4x4 fine-cell block — the TPU shape of an
@@ -469,6 +470,8 @@ def _make_traverse(
     unrolled micro-DDA with in-register bit tests — zero further
     fetches.
     """
+    if qswap is None:
+        qswap = QSWAP
     X, Y, Z = (int(d) for d in dims)
     QX, QY, QZ = (int(d) for d in l3_dims)
     QZW2 = -(-QZ // 2)
@@ -1031,7 +1034,8 @@ def _make_kernel(
         brick_ref,  # (2|3, b_rows, 128) int32 VMEM: per-node lo/hi
         #   mask words, or dedup (mask lo / mask hi / uniform slot)
         palette_ref,  # (8, 128) int32 VMEM
-        noise_ref,  # (24, 1, 2, TILE_H, TILE_W) f32 VMEM quad block
+        noise_ref,  # (24, 1|P, P, tile_h, TILE_W) f32 VMEM parity
+        #   quads (y-parity slab pre-selected when q_rows == 1)
         color_r_ref,  # out blocks are (TILE_H, 2*TILE_W): pixel group
         color_g_ref,  # q lives in columns [q*TILE_W, (q+1)*TILE_W)
         color_b_ref,
@@ -1092,9 +1096,12 @@ def _make_kernel(
             return bi, bj
 
         def noise(k, q):
-            # (y, x)-parity of group q's pixel block (dynamic scalars)
+            # (y, x)-parity of group q's pixel block (dynamic
+            # scalars).  With one block-row per program the BlockSpec
+            # pre-selects the program's y-parity slab (axis 1 size 1).
             bi, bj = block_rc(q)
-            return noise_ref[k, bi % p_par, bj % p_par, :, :]
+            row = bi % p_par if q_rows > 1 else 0
+            return noise_ref[k, row, bj % p_par, :, :]
 
         def slot_color(slot_vals):
             node = _flat_gather_1024(palette_ref[:, :], slot_vals)
@@ -1496,17 +1503,11 @@ def render_sample(
     # mask lo / mask hi / uniform slot) vs per-node (2 tables) — the
     # mode is carried by the leading axis (scene/grid.py _pack_nodes)
     brick_dedup = int(brick_idx.shape[0]) == 3
-    # Queues amortize their (N-1)-long swap select chains over two
-    # march steps: q=30 measured 15.5 ms vs 16.8 (1080p monu9), 4K
-    # q=20 32.6 vs 36.8, 720p q=20 exactly neutral (17.27/17.27 over
-    # interleaved pairs) — so 2 is the default cadence everywhere
-    # unless pinned by VOX_QSWAP.
-    qswap = QSWAP if "VOX_QSWAP" in _os.environ else 2
     kernel = _make_kernel(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         max_bounces=max_bounces, fine_in_hbm=fine_in_hbm,
         nbx2=nbx // 2, q_cols=q, q_rows=q_rows,
-        brick_dedup=brick_dedup, tile_h=tile_h, qswap=qswap,
+        brick_dedup=brick_dedup, tile_h=tile_h,
     )
 
     plane = jax.ShapeDtypeStruct((nby * tile_h, nbx * TILE_W), jnp.float32)
@@ -1556,10 +1557,15 @@ def render_sample(
             full(tuple(int(d) for d in brick_idx.shape)),
             full((8, 128)),
             pl.BlockSpec(
-                # the full parity table rides along: group q reads
-                # (block row % P, block col % P) of the P x P quads
-                (24, P, P, tile_h, TILE_W),
-                lambda i, j: (0, 0, 0, 0, 0),
+                # group q reads (block row % P, block col % P) of the
+                # P x P parity quads; with one block-row per program
+                # the y-parity is static per program, so only that
+                # slab ships (the full table rides along when a
+                # program spans several block-rows)
+                (24, 1 if q_rows == 1 else P, P, tile_h, TILE_W),
+                (lambda i, j: (0, i % P, 0, 0, 0))
+                if q_rows == 1
+                else (lambda i, j: (0, 0, 0, 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
