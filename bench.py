@@ -61,7 +61,8 @@ def main():
 
     # best-of-3 bursts: the shared TPU service's load swings +-30%
     # across minutes, so a single burst can under-read a fast kernel;
-    # the fastest burst is the least-contended measurement
+    # the fastest burst is the least-contended measurement.  The median
+    # burst rides along in the JSON so the methodology is visible.
     dts = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -77,10 +78,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "menger.vox 720p progressive path trace fps (1 spp/frame, temporal accum, single chip)",
+                "metric": "menger.vox 720p progressive path trace fps (1 spp/frame, temporal accum, single chip, best of 3 bursts)",
                 "value": round(fps, 3),
                 "unit": "fps",
                 "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
+                "median_burst_fps": round(1.0 / sorted(dts)[1], 3),
             }
         )
     )

@@ -62,7 +62,15 @@ TILE_W = 128
 MAX_BOUNCES = 3
 RANDS_PER_BOUNCE = 8
 PLANES_PER_FRAME = 24  # RANDS_PER_BOUNCE * MAX_BOUNCES
-MAX_OUTER_ITERS = 4096
+# Per-RAY march-step fuse: at the cap the ray fuses to an opaque black
+# leaf at its current cell and the lane's queue advances — the per-ray
+# guarantee of voxels.comp:166-169 (2048 iterations/ray), which a
+# shared-budget queue cap could not make (rays behind a runaway ray
+# would report miss).  Steps here are hierarchical DDA steps (box
+# skips / brick visits), not the reference's octree iterations, so the
+# cap bounds work per ray rather than bit-matching the reference's
+# fuse count.
+MAX_RAY_STEPS = int(_os.environ.get("VOX_RAY_CAP", 2048))
 ALMOST_INFINITY = float(1 << 30)
 LEAF_BIT = np.int32(-(1 << 31))
 EMISSIVE_BIT = np.int32(1 << 30)
@@ -453,6 +461,7 @@ def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
 def _make_traverse(
     dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
     fine_in_hbm=False, brick_dedup=True, qswap=None,
+    max_ray_steps=None,
 ):
     """Build the in-kernel node-DDA traversal closure.
 
@@ -472,6 +481,8 @@ def _make_traverse(
     """
     if qswap is None:
         qswap = QSWAP
+    if max_ray_steps is None:
+        max_ray_steps = MAX_RAY_STEPS
     X, Y, Z = (int(d) for d in dims)
     QX, QY, QZ = (int(d) for d in l3_dims)
     QZW2 = -(-QZ // 2)
@@ -545,7 +556,7 @@ def _make_traverse(
 
         def one_step(ray, nserv, nact, nlive, trav, mst, recs):
             (active, cx, cy, cz, t) = trav
-            (hslot_u, hit, hit_t, hcx, hcy, hcz) = recs
+            (hslot_u, hit, rfuse, hit_t, hcx, hcy, hcz) = recs
             (ox_, oy_, oz_, dx, dy, dz, invx, invy, invz) = ray
             sx = jnp.sign(dx).astype(jnp.int32)
             sy = jnp.sign(dy).astype(jnp.int32)
@@ -728,7 +739,7 @@ def _make_traverse(
                 nlive,
                 (active, cx, cy, cz, t),
                 mst_out,
-                (hslot_u, hit, hit_t, hcx, hcy, hcz),
+                (hslot_u, hit, rfuse, hit_t, hcx, hcy, hcz),
             )
 
         return one_step
@@ -736,17 +747,22 @@ def _make_traverse(
     def finish(table_ref, ray, fuse_mask, cur, recs, fine_dma):
         """Post-march resolution for one ray's hit records: iteration
         fuse -> opaque black leaf (voxels.comp:166-169), palette slot
-        at the hit, and the face normal (voxels.comp:181-187)."""
+        at the hit, and the face normal (voxels.comp:181-187).
+
+        Fused lanes arrive two ways: the per-ray step cap recorded the
+        fuse in ``recs`` (rfuse) mid-march, or the lane was still
+        active when the outer backstop died (``fuse_mask``, uses the
+        live ``cur`` position)."""
         ox_, oy_, oz_, dx, dy, dz = ray[:6]
         cx, cy, cz, t = cur
-        hslot_u, hit, hit_t, hcx, hcy, hcz = recs
+        hslot_u, hit, rfuse, hit_t, hcx, hcy, hcz = recs
         zero_i = jnp.zeros_like(cx)
-        fused = fuse_mask
-        hit = jnp.where(fused, 1, hit)
-        hit_t = jnp.where(fused, t, hit_t)
-        hcx = jnp.where(fused, cx, hcx)
-        hcy = jnp.where(fused, cy, hcy)
-        hcz = jnp.where(fused, cz, hcz)
+        hit = jnp.where(fuse_mask, 1, hit)
+        hit_t = jnp.where(fuse_mask, t, hit_t)
+        hcx = jnp.where(fuse_mask, cx, hcx)
+        hcy = jnp.where(fuse_mask, cy, hcy)
+        hcz = jnp.where(fuse_mask, cz, hcz)
+        fused = fuse_mask | (rfuse == 1)
         hitb = hit == 1
 
         # resolve the palette slot at the hit cell: hits in uniform
@@ -826,10 +842,11 @@ def _make_traverse(
         (addresses are global).  Returns (results, counters):
         results[r] = (hit, t, slot, fused, normals) for ray r.
 
-        Cap edge: if the combined march hits MAX_OUTER_ITERS (far
-        beyond any real scene; the reference's per-ray fuse needs
-        >2048 steps), the lane's current ray reports fused at its
-        current cell and not-yet-run rays report misses.
+        Cap edge: each ray carries its OWN step budget
+        (``max_ray_steps``, default 2048 like ``voxels.comp:166``) —
+        at the cap it fuses at its current cell (opaque black leaf)
+        and the lane's queue advances, so every queued ray always
+        gets its full budget regardless of queue-mates.
 
         Queue storage is RAW rays only — 7 planes per queued ray
         (o3, d3, mask) instead of the 14-plane precomputed setup; the
@@ -858,14 +875,17 @@ def _make_traverse(
         one_step = make_step(meta_ref, brick_ref)
         zero_i = jnp.zeros_like(setup0[1])
         zero_f = jnp.zeros_like(setup0[4])
-        rec_zero = (zero_i, zero_i, zero_f, zero_i, zero_i, zero_i)
+        rec_zero = (
+            zero_i, zero_i, zero_i, zero_f, zero_i, zero_i, zero_i
+        )
 
-        # banked records travel packed: (hcx|hcy, hcz|slot|hit, hit_t)
-        # — 3 loop-state planes per banked ray instead of 6
+        # banked records travel packed:
+        # (hcx|hcy, hcz|slot|hit|fused, hit_t) — 3 loop-state planes
+        # per banked ray instead of 7
         def pack_recs(recs):
-            hslot_u, hit, hit_t, hcx, hcy, hcz = recs
+            hslot_u, hit, rfuse, hit_t, hcx, hcy, hcz = recs
             p1 = hcx | (hcy << 15)
-            p2 = hcz | (hslot_u << 15) | (hit << 25)
+            p2 = hcz | (hslot_u << 15) | (hit << 25) | (rfuse << 26)
             return (p1, p2, hit_t)
 
         def unpack_recs(p):
@@ -873,17 +893,42 @@ def _make_traverse(
             return (
                 (p2 >> 15) & 0x3FF,  # hslot_u
                 (p2 >> 25) & 1,  # hit
+                (p2 >> 26) & 1,  # rfuse
                 hit_t,
                 p1 & 0x7FFF,  # hcx
                 (p1 >> 15) & 0x7FFF,  # hcy
                 p2 & 0x7FFF,  # hcz
             )
 
-        def swap(qidx, ray, trav, recs, saved):
+        def fuse_capped(steps, trav, recs):
+            """Per-ray step fuse (voxels.comp:166-169): a ray at the
+            cap records a fused hit at its current cell and retires,
+            so the lane's remaining queued rays still get their full
+            budget (never 'report miss because a queue-mate ran
+            long')."""
+            active, cx, cy, cz, t = trav
+            capped = (active == 1) & (steps >= max_ray_steps)
+            hslot_u, hit, rfuse, hit_t, hcx, hcy, hcz = recs
+            recs = (
+                hslot_u,
+                jnp.where(capped, 1, hit),
+                jnp.where(capped, 1, rfuse),
+                jnp.where(capped, t, hit_t),
+                jnp.where(capped, cx, hcx),
+                jnp.where(capped, cy, hcy),
+                jnp.where(capped, cz, hcz),
+            )
+            trav = (
+                active * (1 - capped.astype(jnp.int32)),
+                cx, cy, cz, t,
+            )
+            return trav, recs
+
+        def swap(qidx, steps, ray, trav, recs, saved):
             """Lanes whose current ray just finished: bank its records
             and load the next ray's init state."""
             if N == 1:  # no queue to advance
-                return qidx, ray, trav, recs, saved
+                return qidx, steps, ray, trav, recs, saved
             active = trav[0]
             done = (active == 0) & (qidx < N - 1)
             packed = pack_recs(recs)
@@ -916,18 +961,20 @@ def _make_traverse(
             recs = tuple(
                 jnp.where(done, z, c) for z, c in zip(rec_zero, recs)
             )
+            steps = jnp.where(done, 0, steps)
             qidx = qidx + done.astype(jnp.int32)
-            return qidx, ray, trav, recs, tuple(saved)
+            return qidx, steps, ray, trav, recs, tuple(saved)
 
         # lanes with dead leading rays start further down the queue
         ray0 = setup0[0]
         trav0 = (setup0[5],) + tuple(setup0[1:5])
         qidx0 = zero_i
+        steps0 = zero_i
         recs0 = rec_zero
         saved0 = tuple([zero_i, zero_i, zero_f] * (N - 1))
         for _ in range(N - 1):
-            qidx0, ray0, trav0, recs0, saved0 = swap(
-                qidx0, ray0, trav0, recs0, saved0
+            qidx0, steps0, ray0, trav0, recs0, saved0 = swap(
+                qidx0, steps0, ray0, trav0, recs0, saved0
             )
         mst0 = (
             (zero_i - 1, zero_i)
@@ -936,23 +983,31 @@ def _make_traverse(
         )
         M = len(mst0)
 
-        # state layout: it | counters(3) | qidx | ray(9) | trav(5) |
-        #               mst(M) | recs(6) | saved(3*(N-1))
-        MST0 = 19
+        # Outer backstop: with the per-ray fuse guaranteeing
+        # termination, this only guards against a logic bug — set it
+        # past the worst case (every queued ray fusing) so it can
+        # never starve a ray of its per-ray budget.
+        outer_cap = np.int32(N * max_ray_steps + N * qswap)
+
+        # state layout: it | counters(3) | qidx | steps | ray(9) |
+        #               trav(5) | mst(M) | recs(7) | saved(3*(N-1))
+        TRAV0 = 15
+        MST0 = TRAV0 + 5
         REC0 = MST0 + M
-        SAV0 = REC0 + 6
+        SAV0 = REC0 + 7
 
         def cond(s):
             return jnp.logical_and(
-                s[0] < MAX_OUTER_ITERS, jnp.max(s[14]) > 0
+                s[0] < outer_cap, jnp.max(s[TRAV0]) > 0
             )
 
         def body(s):
             it = s[0]
             nserv, nact, nlive = s[1:4]
             qidx = s[4]
-            ray = s[5:14]
-            trav = s[14:19]
+            steps = s[5]
+            ray = s[6:15]
+            trav = s[TRAV0:MST0]
             mst = s[MST0:REC0]
             recs = s[REC0:SAV0]
             saved = s[SAV0 : SAV0 + 3 * (N - 1)]
@@ -963,23 +1018,30 @@ def _make_traverse(
                 nserv, nact, nlive, trav, mst, recs = one_step(
                     ray, nserv, nact, nlive, trav, mst, recs
                 )
-            qidx, ray, trav, recs, saved = swap(
-                qidx, ray, trav, recs, saved
+            # the step count advances in qswap quanta, so a capped ray
+            # may overrun by <= qswap-1 steps before fusing — the cap
+            # bounds work per ray; it is not a step-exact reference
+            # match (the algorithms count different step kinds anyway)
+            steps = steps + np.int32(qswap)
+            trav, recs = fuse_capped(steps, trav, recs)
+            qidx, steps, ray, trav, recs, saved = swap(
+                qidx, steps, ray, trav, recs, saved
             )
             return (
-                (it + qswap, nserv, nact, nlive, qidx)
+                (it + qswap, nserv, nact, nlive, qidx, steps)
                 + ray + trav + mst + recs + saved
             )
 
         state = (
-            (np.int32(0), np.int32(0), np.int32(0), np.int32(0), qidx0)
+            (np.int32(0), np.int32(0), np.int32(0), np.int32(0),
+             qidx0, steps0)
             + ray0 + trav0 + mst0 + recs0 + saved0
         )
         out = jax.lax.while_loop(cond, body, state)
         n_iters, n_serves, n_act = out[0], out[1], out[2]
         n_live, qidx = out[3], out[4]
-        active = out[14]
-        cur = (out[15], out[16], out[17], out[18])  # cx, cy, cz, t
+        active = out[TRAV0]
+        cur = tuple(out[TRAV0 + 1 : TRAV0 + 5])  # cx, cy, cz, t
         recs = out[REC0:SAV0]
         saved = out[SAV0 : SAV0 + 3 * (N - 1)]
 
@@ -1014,10 +1076,12 @@ def _make_kernel(
     dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
     max_bounces=MAX_BOUNCES, fine_in_hbm=False, nbx2=1, q_cols=2,
     q_rows=1, brick_dedup=True, tile_h=TILE_H, qswap=None,
+    max_ray_steps=None,
 ):
     traverse, traverse_qn = _make_traverse(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         fine_in_hbm=fine_in_hbm, brick_dedup=brick_dedup, qswap=qswap,
+        max_ray_steps=max_ray_steps,
     )
     block = BLOCK_OF[tile_h]
     p_par = 128 // block  # noise-quad parity period per axis
@@ -1438,7 +1502,7 @@ def _pad_to(x, m):
     static_argnames=(
         "dims", "zw", "origin", "n_rows", "l3_dims", "m_rows",
         "b_rows", "height", "width", "interpret", "max_bounces",
-        "fine_in_hbm",
+        "fine_in_hbm", "max_ray_steps",
     ),
 )
 def render_sample(
@@ -1461,6 +1525,7 @@ def render_sample(
     interpret: bool = False,
     max_bounces: int = MAX_BOUNCES,
     fine_in_hbm: bool = False,
+    max_ray_steps: int = None,
 ) -> Dict[str, jnp.ndarray]:
     """Trace one sample with the Pallas kernel; same output dict as
     :func:`voxtracer.ops.trace_xla.render_sample` (H, W shapes).
@@ -1508,6 +1573,7 @@ def render_sample(
         max_bounces=max_bounces, fine_in_hbm=fine_in_hbm,
         nbx2=nbx // 2, q_cols=q, q_rows=q_rows,
         brick_dedup=brick_dedup, tile_h=tile_h,
+        max_ray_steps=max_ray_steps,
     )
 
     plane = jax.ShapeDtypeStruct((nby * tile_h, nbx * TILE_W), jnp.float32)

@@ -334,8 +334,12 @@ def _pack_nodes(
     # content-addressed dedup over (64-bit mask, uniform slot) pairs —
     # see BRICK_DEDUP_MAX.  Empty nodes map to entry (0, 0); they never
     # consult the brick table.
+    # combine in uint64: with mask bit 63 set, (lo | hi<<32) in int64
+    # would rely on silent two's-complement wraparound (bijective but
+    # fragile under future NumPy overflow strictness)
+    key64 = lo.astype(np.uint64) | (hi.astype(np.uint64) << np.uint64(32))
     keys = np.stack(
-        [(lo | (hi << 32)).reshape(-1), slot.reshape(-1)], axis=1
+        [key64.reshape(-1), slot.reshape(-1).astype(np.uint64)], axis=1
     )
     uniq_keys, inv = np.unique(keys, axis=0, return_inverse=True)
     if len(uniq_keys) <= BRICK_DEDUP_MAX:
@@ -346,8 +350,9 @@ def _pack_nodes(
         rows = max(8, -(-len(uniq_keys) // 128))
         tab = np.zeros((3, rows * 128), np.uint32)
         umask = uniq_keys[:, 0]
-        tab[0, : len(uniq_keys)] = umask & 0xFFFFFFFF
-        tab[1, : len(uniq_keys)] = (umask >> 32) & 0xFFFFFFFF
+        m32 = np.uint64(0xFFFFFFFF)
+        tab[0, : len(uniq_keys)] = umask & m32
+        tab[1, : len(uniq_keys)] = (umask >> np.uint64(32)) & m32
         tab[2, : len(uniq_keys)] = uniq_keys[:, 1]
         brick_idx = (
             tab.view(np.int32).reshape(3, rows, 128)
