@@ -85,6 +85,71 @@ def test_sharded_matches_single_device(radius):
         )
 
 
+@pytest.mark.slow
+def test_sharded_pallas_post_stages_bitmatch_with_motion():
+    """Two frames with camera motion through the FULL Pallas pipeline
+    under the mesh (fused temporal reprojection + denoise stencil, each
+    fetching row halos from neighbor slabs via ppermute): frame 2's
+    history resample reads rows that live on OTHER devices, and the
+    result must still be bit-identical to the single-device render."""
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
+    height, width = 64, 128
+    scene, meta, args = _setup(height, width)
+    arrays = args[0]
+
+    cam_a = Camera(
+        position=np.array([0.0, 2.0, -8.0]),
+        direction=np.array([0.0, -0.3, 1.0]),
+    )
+    # a few pixels of reprojection offset, crossing the 8-row slabs
+    cam_b = Camera(
+        position=np.array([0.15, 2.2, -8.1]),
+        direction=np.array([0.02, -0.32, 1.0]),
+    )
+
+    def cam_arr(c):
+        r, u, f = c.axis_scaled(width, height)
+        return jnp.asarray(
+            np.stack([c.position, r, u, f]).astype(np.float32)
+        )
+
+    def run_single():
+        state = pipeline.init_state(height, width)
+        for i, c in enumerate((cam_a, cam_b)):
+            state, out = pipeline.render_frame(
+                state, arrays, cam_arr(c), *args[2:5], args[5],
+                jnp.int32(i + 1),
+                scene_meta=meta, height=height, width=width,
+                radius=2, reproject=True,
+                trace_impl="pallas_interpret",
+            )
+        return out
+
+    def run_sharded():
+        mesh = make_mesh()
+        fn, shard_state = sharded_render_frame(
+            mesh, scene_meta=meta, height=height, width=width,
+            radius=2, reproject=True, trace_impl="pallas_interpret",
+        )
+        state = shard_state(pipeline.init_state(height, width))
+        for i, c in enumerate((cam_a, cam_b)):
+            state, out = fn(
+                state, arrays, cam_arr(c), *args[2:5], args[5],
+                jnp.int32(i + 1),
+            )
+        return out
+
+    single = run_single()
+    sharded = run_sharded()
+    for key in ("image", "linear", "depth", "node"):
+        np.testing.assert_array_equal(
+            np.asarray(single[key]),
+            np.asarray(sharded[key]),
+            err_msg=f"outputs[{key}] differs across pallas sharding",
+        )
+
+
 def test_sharded_pallas_matches_single_device():
     """The flagship Pallas kernel family composes with the mesh: the
     trace stage runs under shard_map (one row slab per device, params

@@ -39,12 +39,50 @@ from ..ops import denoise as denoise_op
 from ..ops import denoise_pallas as denoise_pallas_op
 from ..ops import noise as noise_op
 from ..ops import temporal as temporal_op
+from ..ops import temporal_pallas
 from ..ops import tonemap
 from ..ops import trace_pallas
 from ..ops import trace_xla
 from ..scene.grid import GridScene
 from .camera import Camera
 from .params import DenoiseParams, RenderParams, TemporalParams
+
+
+def _history_stack(state):
+    """(5, H, W) history stack the fused temporal kernel consumes."""
+    return jnp.stack(
+        [
+            state["accum_color"][..., 0],
+            state["accum_color"][..., 1],
+            state["accum_color"][..., 2],
+            state["accum_blend"],
+            state["old_depth"],
+        ]
+    )
+
+
+def _edge_rows(x, n, axis_name, n_dev, side):
+    """``n`` rows of the row-sharded array ``x`` adjacent to this slab,
+    fetched from neighboring shards via ``lax.ppermute`` edge exchange
+    (several hops when the slab is shorter than the halo).  Beyond the
+    mesh edge the permute yields zeros — those rows lie outside the
+    image and are never selected (taps clamp to the true image bounds;
+    the denoiser's valid channel is 0 there, like its zero padding)."""
+    if n == 0:
+        return x[:, :0]
+    slab = x.shape[1]
+    parts = []
+    cur = x
+    for _ in range(-(-n // slab)):
+        if side == "bot":
+            perm = [(i, i - 1) for i in range(1, n_dev)]
+        else:
+            perm = [(i, i + 1) for i in range(n_dev - 1)]
+        cur = jax.lax.ppermute(cur, axis_name, perm)
+        parts.append(cur)
+    if side == "bot":
+        return jnp.concatenate(parts, axis=1)[:, :n]
+    return jnp.concatenate(parts[::-1], axis=1)[:, -n:]
 
 
 def init_state(height: int, width: int) -> Dict[str, jnp.ndarray]:
@@ -74,17 +112,25 @@ def render_frame_impl(
     radius: int,
     reproject: bool,
     trace_impl: str = "xla",
+    resample: str = "pallas",  # "pallas" (offset-serve window) or
+    #   "xla" (any-offset gather — the fast-camera-motion fallback the
+    #   Renderer selects when predicted offsets exceed the window)
     shard_mesh=None,  # jax.sharding.Mesh: shard the Pallas trace stage
     shard_axis: str = "rows",
 ):
     dims, origin, zw, n_rows, l3_dims, m_rows, b_rows = scene_meta
+    use_pallas = trace_impl.startswith("pallas")
+    interpret = trace_impl == "pallas_interpret"
 
-    if trace_impl.startswith("pallas"):
+    cam_tuple = (cam[0], cam[1], cam[2], cam[3])
+    old = state["old_cam"]
+    old_cam_tuple = (old[0], old[1], old[2], old[3])
+
+    if use_pallas:
         # "pallas_interpret" runs the same kernel through the Pallas
         # interpreter — how CPU tests exercise the TPU kernel family.
         # "pallas_hbm" keeps the packed fine table HBM-resident (scenes
         # beyond the VMEM budget) and DMAs serve windows on demand.
-        interpret = trace_impl == "pallas_interpret"
         params_vec = trace_pallas.pack_params_traced(cam, render_params)
         trace_kw = dict(
             dims=dims,
@@ -98,7 +144,133 @@ def render_frame_impl(
             interpret=interpret,
             fine_in_hbm=trace_impl == "pallas_hbm",
         )
-        if shard_mesh is None:
+
+    if use_pallas and shard_mesh is not None:
+        # Pallas under SPMD: XLA cannot partition a custom call, so the
+        # WHOLE per-pixel pipeline runs under shard_map — each chip
+        # traces, reprojects and denoises its own row slab against the
+        # replicated scene.  Ray-gen stays image-global (params slot 30
+        # carries the slab row; noise quads pre-roll by it), and the
+        # two stencil stages keep their single-chip Pallas kernels: the
+        # history resample and the denoise window each fetch a fixed
+        # row halo from the neighboring slabs with one lax.ppermute
+        # edge exchange — the only steady-state ICI traffic.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = shard_mesh.devices.size
+        slab = height // n_dev
+
+        def _slab_frame(
+            packed, meta, brick, pal, pv, nbuf, fnum, cam_arr,
+            acc_color, acc_blend, old_depth, old_cam_arr, hvalid,
+            t_params, d_params,
+        ):
+            row0 = jax.lax.axis_index(shard_axis) * slab
+            row0f = row0.astype(jnp.float32)
+            pv = pv.at[0, 30].set(row0f)
+            nq = trace_pallas.noise_quads(
+                nbuf, fnum, roll=row0,
+                tile_h=trace_pallas.pick_tile(slab, width),
+            )
+            gbuf = trace_pallas.render_sample(
+                packed, meta, brick, pal, pv, nq,
+                height=slab, **trace_kw,
+            )
+            cam_t = tuple(cam_arr[i] for i in range(4))
+            old_t = tuple(old_cam_arr[i] for i in range(4))
+            if reproject:
+                hist = jnp.stack(
+                    [
+                        acc_color[..., 0], acc_color[..., 1],
+                        acc_color[..., 2], acc_blend, old_depth,
+                    ]
+                )
+                ht = temporal_pallas.HALO_TOP
+                hb = temporal_pallas.HALO_BOT
+                hist_ext = jnp.concatenate(
+                    [
+                        _edge_rows(hist, ht, shard_axis, n_dev, "top"),
+                        hist,
+                        _edge_rows(hist, hb, shard_axis, n_dev, "bot"),
+                    ],
+                    axis=1,
+                )
+                blended, next_blend = temporal_pallas.temporal_blend_fused(
+                    gbuf["color"], gbuf["normal"], gbuf["depth"],
+                    hist_ext, cam_t, old_t, t_params, hvalid,
+                    img_height=height, hist_top=ht, hist_bot=hb,
+                    row0=row0f, interpret=interpret,
+                )
+            else:
+                blended, next_blend = temporal_op.temporal_blend(
+                    gbuf["color"], gbuf["normal"], gbuf["depth"],
+                    acc_color, acc_blend, old_depth, cam_t, old_t,
+                    t_params, hvalid, reproject=False, row0=row0f,
+                )
+            if radius > 0:
+                stack = denoise_pallas_op.build_stack(
+                    blended, gbuf["normal"], gbuf["depth"],
+                    gbuf["albedo"], gbuf["node"],
+                )
+                stack_ext = jnp.concatenate(
+                    [
+                        _edge_rows(stack, radius, shard_axis, n_dev, "top"),
+                        stack,
+                        _edge_rows(stack, radius, shard_axis, n_dev, "bot"),
+                    ],
+                    axis=1,
+                )
+                out = denoise_pallas_op.denoise_from_stack(
+                    stack_ext, cam_t, d_params, radius=radius,
+                    top_halo=radius, bot_halo=radius, row0=row0f,
+                    interpret=interpret,
+                )
+            else:
+                out = denoise_pallas_op.denoise(
+                    blended, gbuf["normal"], gbuf["depth"],
+                    gbuf["albedo"], gbuf["node"], cam_t, d_params,
+                    radius=0,
+                )
+            return gbuf, blended, next_blend, out
+
+        sharded = P(shard_axis)
+        gbuf_specs = {
+            "color": sharded,
+            "normal": sharded,
+            "depth": sharded,
+            "albedo": sharded,
+            "node": sharded,
+            "debug_iters": sharded,
+        }
+        gbuf, blended, next_blend, out = shard_map(
+            _slab_frame,
+            mesh=shard_mesh,
+            in_specs=(
+                P(), P(), P(), P(), P(), P(), P(), P(),
+                sharded, sharded, sharded, P(), P(), P(), P(),
+            ),
+            out_specs=(gbuf_specs, sharded, sharded, sharded),
+            check_rep=False,
+        )(
+            scene_arrays["packed_idx"],
+            scene_arrays["meta_idx"],
+            scene_arrays["brick_idx"],
+            scene_arrays["palette"],
+            params_vec,
+            jnp.asarray(noise_buffer),
+            frame_number,
+            cam,
+            state["accum_color"],
+            state["accum_blend"],
+            state["old_depth"],
+            state["old_cam"],
+            state["history_valid"],
+            temporal_params,
+            denoise_params,
+        )
+    else:
+        if use_pallas:
             nq = trace_pallas.noise_quads(
                 jnp.asarray(noise_buffer), frame_number,
                 tile_h=trace_pallas.pick_tile(height, width),
@@ -114,115 +286,79 @@ def render_frame_impl(
                 **trace_kw,
             )
         else:
-            # Pallas under SPMD: XLA cannot partition a custom call, so
-            # the trace stage runs under shard_map — each chip traces
-            # its own row slab against the replicated scene (zero
-            # collectives; params slot 30 carries the slab's global
-            # row so ray-gen stays image-global, and the noise quads
-            # are pre-rolled by the slab's row offset).
-            from jax.experimental.shard_map import shard_map
-            from jax.sharding import PartitionSpec as P
-
-            n_dev = shard_mesh.devices.size
-            slab = height // n_dev
-
-            def _trace(packed, meta, brick, pal, pv, nbuf, fnum):
-                row0 = jax.lax.axis_index(shard_axis) * slab
-                pv = pv.at[0, 30].set(row0.astype(jnp.float32))
-                nq = trace_pallas.noise_quads(
-                    nbuf, fnum, roll=row0,
-                    tile_h=trace_pallas.pick_tile(slab, width),
-                )
-                return trace_pallas.render_sample(
-                    packed, meta, brick, pal, pv, nq,
-                    height=slab, **trace_kw,
-                )
-
-            out_specs = {
-                "color": P(shard_axis),
-                "normal": P(shard_axis),
-                "depth": P(shard_axis),
-                "albedo": P(shard_axis),
-                "node": P(shard_axis),
-                "debug_iters": P(shard_axis),
-            }
-            gbuf = shard_map(
-                _trace,
-                mesh=shard_mesh,
-                in_specs=(P(), P(), P(), P(), P(), P(), P()),
-                out_specs=out_specs,
-                check_rep=False,
-            )(
-                scene_arrays["packed_idx"],
-                scene_arrays["meta_idx"],
-                scene_arrays["brick_idx"],
-                scene_arrays["palette"],
-                params_vec,
-                jnp.asarray(noise_buffer),
-                frame_number,
+            planes = noise_op.noise_planes(
+                noise_buffer, frame_number, height, width, xp=jnp
             )
-    else:
-        planes = noise_op.noise_planes(
-            noise_buffer, frame_number, height, width, xp=jnp
-        )
-        gbuf = trace_xla.render_sample(
-            scene_arrays["flat_grid"],
-            dims,
-            scene_arrays["grid_origin"],
-            cam[0],
-            cam[1],
-            cam[2],
-            cam[3],
-            render_params,
-            planes,
-            height,
-            width,
-        )
+            gbuf = trace_xla.render_sample(
+                scene_arrays["flat_grid"],
+                dims,
+                scene_arrays["grid_origin"],
+                cam[0],
+                cam[1],
+                cam[2],
+                cam[3],
+                render_params,
+                planes,
+                height,
+                width,
+            )
 
-    cam_tuple = (cam[0], cam[1], cam[2], cam[3])
-    old = state["old_cam"]
-    old_cam_tuple = (old[0], old[1], old[2], old[3])
-    blended, next_blend = temporal_op.temporal_blend(
-        gbuf["color"],
-        gbuf["normal"],
-        gbuf["depth"],
-        state["accum_color"],
-        state["accum_blend"],
-        state["old_depth"],
-        cam_tuple,
-        old_cam_tuple,
-        temporal_params,
-        state["history_valid"],
-        reproject=reproject,
-        # The pallas resampler rides the single-chip TPU path; under a
-        # mesh the XLA gather path lets the SPMD partitioner insert the
-        # cross-slab halo exchanges.
-        resample_impl=(
-            "pallas"
-            if trace_impl in ("pallas", "pallas_hbm") and shard_mesh is None
-            else "xla"
-        ),
-    )
+        if reproject and use_pallas and resample == "pallas":
+            # the fused kernel is the whole temporal.comp stage in one
+            # Pallas pass (reproject + offset-serve resample +
+            # validity + blend) — no full-image XLA passes around it
+            blended, next_blend = temporal_pallas.temporal_blend_fused(
+                gbuf["color"],
+                gbuf["normal"],
+                gbuf["depth"],
+                _history_stack(state),
+                cam_tuple,
+                old_cam_tuple,
+                temporal_params,
+                state["history_valid"],
+                interpret=interpret,
+            )
+        else:
+            blended, next_blend = temporal_op.temporal_blend(
+                gbuf["color"],
+                gbuf["normal"],
+                gbuf["depth"],
+                state["accum_color"],
+                state["accum_blend"],
+                state["old_depth"],
+                cam_tuple,
+                old_cam_tuple,
+                temporal_params,
+                state["history_valid"],
+                reproject=reproject,
+                resample_impl="xla",
+            )
 
-    # The VMEM-windowed Pallas stencil reads each pixel once; the XLA
-    # stencil streams ~(2r+1)^2 full-image slices through HBM.  Pair it
-    # with the Pallas trace path (single-chip TPU); under a mesh the
-    # XLA stencil shards through annotations (partitioned halos).
-    denoise_fn = (
-        denoise_pallas_op.denoise
-        if trace_impl in ("pallas", "pallas_hbm") and shard_mesh is None
-        else denoise_op.denoise
-    )
-    out = denoise_fn(
-        blended,
-        gbuf["normal"],
-        gbuf["depth"],
-        gbuf["albedo"],
-        gbuf["node"],
-        cam_tuple,
-        denoise_params,
-        radius=radius,
-    )
+        # The VMEM-windowed Pallas stencil reads each pixel once; the
+        # XLA stencil streams ~(2r+1)^2 full-image slices through HBM.
+        if use_pallas:
+            out = denoise_pallas_op.denoise(
+                blended,
+                gbuf["normal"],
+                gbuf["depth"],
+                gbuf["albedo"],
+                gbuf["node"],
+                cam_tuple,
+                denoise_params,
+                radius=radius,
+                interpret=interpret,
+            )
+        else:
+            out = denoise_op.denoise(
+                blended,
+                gbuf["normal"],
+                gbuf["depth"],
+                gbuf["albedo"],
+                gbuf["node"],
+                cam_tuple,
+                denoise_params,
+                radius=radius,
+            )
 
     image_u8 = tonemap.to_u8(out)
 
@@ -241,15 +377,77 @@ def render_frame_impl(
         "normal": gbuf["normal"],
         "albedo": gbuf["albedo"],
         "node": gbuf["node"],
+        # hit-depth extremes feed the Renderer's host-side fast-motion
+        # predictor next frame (8 bytes, fetched lazily)
+        "depth_minmax": jnp.stack(
+            [
+                jnp.min(
+                    jnp.where(gbuf["depth"] >= 0, gbuf["depth"], np.inf)
+                ),
+                jnp.max(gbuf["depth"]),
+            ]
+        ),
     }
     return new_state, outputs
+
+
+# Safety margins under the fused kernel's serve window (it covers y
+# offsets in [-MARGIN, WY_MAX-MARGIN] and x in ~[-128, 126]): the
+# coarse-grid predictor can under-read the true extreme by a few px.
+_PRED_MARGIN_Y = 18
+_PRED_MARGIN_X = 100
+
+
+def predict_max_offset(cam, old_cam, depth_minmax, height, width):
+    """Host-side estimate of this frame's reprojection offsets.
+
+    Evaluates the ``temporal.comp:75-85`` reprojection on a 9x9 pixel
+    grid at the previous frame's hit-depth extremes (pure numpy — no
+    device round-trip, ~10 us).  Camera motion is continuous, so the
+    previous depth range predicts the current one; a misprediction
+    costs one frame of either restarted accumulation (under-read,
+    same as no fallback at all) or the slower any-offset resampler.
+    Returns ``(max |dy|, max |dx|)`` over valid reprojections in px.
+    """
+    origin, right, up, fwd = (np.asarray(v, np.float64) for v in cam)
+    oo, orr, ou, of = (np.asarray(v, np.float64) for v in old_cam)
+    dmin, dmax = float(depth_minmax[0]), float(depth_minmax[1])
+    if not np.isfinite(dmin):  # no hits last frame: nothing to resample
+        return 0.0, 0.0
+    ys = np.linspace(0.0, height - 1.0, 9)
+    xs = np.linspace(0.0, width - 1.0, 9)
+    px, py = np.meshgrid(xs, ys)
+    ray = (
+        px[..., None] * right - py[..., None] * up + fwd
+    )
+    ray /= np.linalg.norm(ray, axis=-1, keepdims=True)
+    inv = np.linalg.inv(np.stack([orr, ou, of], axis=1))
+    dy_max = dx_max = 0.0
+    for d in (dmin, dmax, float(np.sqrt(dmin * dmax))):
+        world = origin + d * ray
+        screen = (world - oo) @ inv.T
+        s2 = screen[..., 2]
+        ok = s2 > 1e-9
+        sx = np.where(ok, screen[..., 0] / np.where(ok, s2, 1.0), 0.0)
+        sy = np.where(ok, screen[..., 1] / np.where(ok, s2, 1.0), 0.0)
+        px_f = sx + 0.5
+        py_f = 0.5 - sy
+        ok &= (
+            (px_f >= 0) & (px_f <= width)
+            & (py_f >= 0) & (py_f <= height)
+        )
+        if not ok.any():
+            continue
+        dy_max = max(dy_max, float(np.abs(py_f - py)[ok].max()))
+        dx_max = max(dx_max, float(np.abs(px_f - px)[ok].max()))
+    return dy_max, dx_max
 
 
 render_frame = partial(
     jax.jit,
     static_argnames=(
         "scene_meta", "height", "width", "radius", "reproject",
-        "trace_impl", "shard_mesh", "shard_axis",
+        "trace_impl", "resample", "shard_mesh", "shard_axis",
     ),
     donate_argnames=("state",),
 )(render_frame_impl)
@@ -297,6 +495,8 @@ class Renderer:
         self.frame_number = 0
         self.still_sample = 0
         self._last_cam: Optional[np.ndarray] = None
+        self._prev_depth_minmax = None
+        self.last_resample = "pallas"  # observable: last frame's choice
 
     def _upload_scene(self, scene: GridScene):
         from ..parallel.mesh import scene_device_args
@@ -351,6 +551,7 @@ class Renderer:
     def reset_accumulation(self):
         self.state = init_state(self.height, self.width)
         self.still_sample = 0
+        self._prev_depth_minmax = None
 
     def render(self, camera: Camera) -> Dict[str, np.ndarray]:
         right, up, forward = camera.axis_scaled(self.width, self.height)
@@ -358,12 +559,31 @@ class Renderer:
             [np.asarray(camera.position), right, up, forward]
         ).astype(np.float32)
 
-        moved = self._last_cam is None or not np.array_equal(
-            cam, self._last_cam
-        )
+        prev_cam = self._last_cam
+        moved = prev_cam is None or not np.array_equal(cam, prev_cam)
         self._last_cam = cam
         if moved:
             self.still_sample = 0
+
+        # Fast-motion fallback: when the predicted reprojection offset
+        # exceeds the fused kernel's serve window, the any-offset XLA
+        # resampler keeps history alive instead of restarting
+        # accumulation (temporal.comp:92-114 accepts any in-frame
+        # offset; the Pallas window covers ~±24 px of y motion).
+        resample = "pallas"
+        if (
+            moved
+            and prev_cam is not None
+            and self.trace_impl.startswith("pallas")
+            and self._prev_depth_minmax is not None
+        ):
+            dmm = np.asarray(self._prev_depth_minmax)
+            dy, dx = predict_max_offset(
+                tuple(cam), tuple(prev_cam), dmm, self.height, self.width
+            )
+            if dy > _PRED_MARGIN_Y or dx > _PRED_MARGIN_X:
+                resample = "xla"
+        self.last_resample = resample
 
         self.frame_number += 1
         self.still_sample += 1
@@ -383,5 +603,7 @@ class Renderer:
             radius=self.denoise_radius,
             reproject=moved,
             trace_impl=self.trace_impl,
+            resample=resample,
         )
+        self._prev_depth_minmax = outputs["depth_minmax"]
         return outputs

@@ -61,7 +61,9 @@ def _make_kernel(radius: int, height: int, width: int):
         fy = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
         fx = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
         px = tj.astype(jnp.float32) * TILE_W + fx
-        py = ti.astype(jnp.float32) * TILE_H + fy
+        # P(15): global pixel row of row 0 (nonzero under a row-sharded
+        # mesh, where each slab runs this kernel on its own rows)
+        py = ti.astype(jnp.float32) * TILE_H + fy + P(15)
 
         # ray direction for the depth bias term (denoise.comp:28-32,47)
         rdx = px * P(3) - py * P(6) + P(9)
@@ -142,6 +144,20 @@ def _pad_to(x, m):
     return -(-x // m) * m
 
 
+def build_stack(colors, normal, depth, albedo, material):
+    """The 12-plane channel stack the stencil consumes (valid=1)."""
+    return jnp.stack(
+        [
+            colors[..., 0], colors[..., 1], colors[..., 2],
+            normal[..., 0], normal[..., 1], normal[..., 2],
+            jnp.log(jnp.abs(depth)),
+            (material >> 24).astype(jnp.float32),
+            albedo[..., 0], albedo[..., 1], albedo[..., 2],
+            jnp.ones_like(depth),
+        ]
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("radius", "interpret")
 )
@@ -156,24 +172,43 @@ def denoise(
     radius: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    height, width = depth.shape
     if radius == 0:
         factor = params.albedo_factor
         return colors * (1.0 - factor + factor * albedo)
+    stack = build_stack(colors, normal, depth, albedo, material)
+    return denoise_from_stack(
+        stack, cam, params, radius=radius, interpret=interpret
+    )
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("radius", "top_halo", "bot_halo", "interpret"),
+)
+def denoise_from_stack(
+    stack: jnp.ndarray,  # (12, top_halo + H + bot_halo, W)
+    cam: Tuple,
+    params,
+    radius: int,
+    top_halo: int = 0,
+    bot_halo: int = 0,
+    row0=None,  # traced: global pixel row of row 0 (sharded slabs)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stencil over a channel stack that may carry row halos.
+
+    A row-sharded mesh runs this per slab: ``top_halo``/``bot_halo``
+    rows (up to ``radius`` each) are REAL neighbor-slab rows fetched by
+    a ``lax.ppermute`` edge exchange (zeros with valid=0 at the image
+    border, exactly like the single-device zero padding), and ``row0``
+    offsets the in-kernel pixel rows so the depth-bias ray matches the
+    global image.  The single-device path passes the bare stack."""
+    assert top_halo <= radius and bot_halo <= radius
+    height = stack.shape[1] - top_halo - bot_halo
+    width = stack.shape[2]
     hp = _pad_to(height, TILE_H)
     wp = _pad_to(width, TILE_W)
 
-    stack = jnp.stack(
-        [
-            colors[..., 0], colors[..., 1], colors[..., 2],
-            normal[..., 0], normal[..., 1], normal[..., 2],
-            jnp.log(jnp.abs(depth)),
-            (material >> 24).astype(jnp.float32),
-            albedo[..., 0], albedo[..., 1], albedo[..., 2],
-            jnp.ones_like(depth),
-        ]
-    )
     kernel, wh, ww = _make_kernel(radius, hp, wp)
     # window slices start at (ti*TILE_H, tj*TILE_W) with aligned sizes
     # (wh, ww) >= TILE + 2r: pad so every slice stays in bounds
@@ -181,7 +216,10 @@ def denoise(
         stack,
         (
             (0, 0),
-            (radius, (hp - TILE_H + wh) - height - radius),
+            (
+                radius - top_halo,
+                (hp - TILE_H + wh) - height - radius - bot_halo,
+            ),
             (radius, (wp - TILE_W + ww) - width - radius),
         ),
     )
@@ -199,6 +237,9 @@ def denoise(
                     jnp.asarray(params.sigma_distance, jnp.float32),
                     jnp.asarray(params.sigma_range, jnp.float32),
                     jnp.asarray(params.albedo_factor, jnp.float32),
+                    jnp.asarray(
+                        0.0 if row0 is None else row0, jnp.float32
+                    ),
                 ]
             ),
         ]

@@ -33,9 +33,12 @@ import jax.numpy as jnp
 from .trace_xla import _normalize
 
 
-def _pixel_rays(camera_right, camera_up, camera_forward, height, width):
+def _pixel_rays(camera_right, camera_up, camera_forward, height, width,
+                row0=None):
     px = jax.lax.broadcasted_iota(jnp.float32, (height, width, 1), 1)
     py = jax.lax.broadcasted_iota(jnp.float32, (height, width, 1), 0)
+    if row0 is not None:
+        py = py + row0
     return _normalize(
         px * camera_right + (-py) * camera_up + camera_forward
     )
@@ -95,16 +98,20 @@ def temporal_blend(
     history_valid,  # scalar bool (False on the first frame)
     reproject: bool,  # static
     resample_impl: str = "xla",  # static: "pallas" (TPU) or "xla"
+    row0=None,  # traced: global pixel row of row 0 (sharded slabs)
 ):
     """Returns (blended_color (H,W,3), next_blending (H,W))."""
     height, width = depth.shape
     origin, right, up, forward = cam
     o_origin, o_right, o_up, o_forward = old_cam
 
-    ray = _pixel_rays(right, up, forward, height, width)
+    ray = _pixel_rays(right, up, forward, height, width, row0=row0)
     world = origin + depth[..., None] * ray
 
     if reproject:
+        # history coordinates here are image-local; sharded slabs use
+        # the fused kernel (temporal_pallas), which takes row0/halos
+        assert row0 is None, "sharded reproject uses temporal_pallas"
         # world -> old screen: solve columns([right, up, fwd]) @ s = world - o
         basis = jnp.stack([o_right, o_up, o_forward], axis=1)  # 3x3 columns
         inv = _inv3(basis)
@@ -163,8 +170,10 @@ def temporal_blend(
         in_range = jnp.ones_like(depth, bool)
         old_nd = old_depth
         qx = jax.lax.broadcasted_iota(jnp.float32, (height, width, 1), 1)
-        qy = -jax.lax.broadcasted_iota(jnp.float32, (height, width, 1), 0)
-        old_ray = _normalize(qx * o_right + qy * o_up + o_forward)
+        qy = jax.lax.broadcasted_iota(jnp.float32, (height, width, 1), 0)
+        if row0 is not None:
+            qy = qy + row0
+        old_ray = _normalize(qx * o_right + (-qy) * o_up + o_forward)
         old_world = o_origin + old_nd[..., None] * old_ray
 
     camera_dir = _normalize(origin - world)

@@ -201,8 +201,26 @@ def render_sample(
     noise_planes: np.ndarray,  # (>= 8*MAX_BOUNCES, H, W) in [0, 1)
     width: int,
     height: int,
+    rng_order: str = "slots",
 ) -> Dict[str, np.ndarray]:
-    """Render one 1-spp sample, returning the trace-stage G-buffer."""
+    """Render one 1-spp sample, returning the trace-stage G-buffer.
+
+    ``rng_order`` selects the rand() consumption schedule:
+
+    * ``"slots"`` (default): fixed 8 noise slices per bounce
+      (spec test, 3 sun-frame, 2 sun-disk, 2 hemisphere) — the
+      schedule all three renderers (oracle / XLA / Pallas) share, so
+      they stay bit-comparable.
+    * ``"reference"``: the reference's exact branch-dependent order
+      (``voxels.comp:268-275``: one slice per CALL, and a specular
+      bounce consumes 1 call where a diffuse one consumes 8) — used to
+      QUANTIFY the schedule divergence.  With the default parameters
+      (``specularity == 0``, sun on) every surviving bounce is diffuse
+      and consumes exactly the same 8 slices in the same order, so the
+      two schedules coincide bit-for-bit; they only diverge when
+      ``specularity > 0`` (specular bounces skip 7 calls) or the sun
+      is off (diffuse bounces skip 5).
+    """
     camera_origin = np.asarray(camera_origin, DTYPE)
     camera_right = np.asarray(camera_right, DTYPE)
     camera_up = np.asarray(camera_up, DTYPE)
@@ -222,6 +240,19 @@ def render_sample(
     ray_origin = np.broadcast_to(camera_origin, (n, 3)).astype(DTYPE).copy()
 
     noise = noise_planes.reshape(noise_planes.shape[0], -1)
+    seq_idx = np.zeros(n, np.int64)
+    lane_ids = np.arange(n)
+
+    def draw(k_fixed, mask):
+        """One rand() value per pixel.  Slots mode reads the fixed
+        slice; reference mode reads each pixel's NEXT sequential slice
+        and advances only the pixels where the reference makes the
+        call (its per-pixel call counter, voxels.comp:268-275)."""
+        if rng_order != "reference":
+            return noise[k_fixed]
+        val = noise[np.minimum(seq_idx, noise.shape[0] - 1), lane_ids]
+        seq_idx[:] = seq_idx + mask.astype(np.int64)
+        return val
 
     sun_dir = sun_direction(params.sun_yaw, params.sun_pitch).astype(DTYPE)
     sun_color = (np.asarray(params.sun_color) * params.sun_strength).astype(DTYPE)
@@ -255,7 +286,8 @@ def render_sample(
             first_normal = np.where(hit[:, None], normal, first_normal)
             first_time = np.where(hit, t, first_time)
 
-        specular = noise[k0] < params.specularity
+        specular = draw(k0, hit) < params.specularity
+        diffuse_m = hit & ~specular
 
         # --- specular branch ---------------------------------------
         reflect = _normalize(
@@ -272,11 +304,18 @@ def render_sample(
         sun_contrib = np.zeros((n, 3), DTYPE)
         count_sun = False
         if params.sun_strength > 0:
-            rand_dir = np.stack([noise[k0 + 1], noise[k0 + 2], noise[k0 + 3]], axis=1)
+            rand_dir = np.stack(
+                [
+                    draw(k0 + 1, diffuse_m),
+                    draw(k0 + 2, diffuse_m),
+                    draw(k0 + 3, diffuse_m),
+                ],
+                axis=1,
+            )
             up_dir = _normalize(np.cross(rand_dir, sun_dir[None, :]))
             right_dir = _normalize(np.cross(sun_dir[None, :], up_dir))
-            dx = 2.0 * noise[k0 + 4] - 1.0
-            dy = 2.0 * noise[k0 + 5] - 1.0
+            dx = 2.0 * draw(k0 + 4, diffuse_m) - 1.0
+            dy = 2.0 * draw(k0 + 5, diffuse_m) - 1.0
             light_dir = _normalize(sun_dir)[None, :] + (
                 dx[:, None] * right_dir + dy[:, None] * up_dir
             ) * params.sun_size
@@ -295,8 +334,8 @@ def render_sample(
             )
             count_sun = True
 
-        phi = 2.0 * np.pi * noise[k0 + 6]
-        hx = 2.0 * noise[k0 + 7] - 1.0
+        phi = 2.0 * np.pi * draw(k0 + 6, diffuse_m)
+        hx = 2.0 * draw(k0 + 7, diffuse_m) - 1.0
         plane_r = np.sqrt(np.maximum(0.0, 1.0 - hx * hx))
         sphere = np.stack(
             [hx, plane_r * np.cos(phi), plane_r * np.sin(phi)], axis=1

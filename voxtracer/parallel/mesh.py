@@ -9,10 +9,14 @@ dimension of every per-pixel array over a 1-D ``jax.sharding.Mesh``
   * the path-trace stage is embarrassingly parallel per pixel — no
     collectives at all on its hot loop;
   * the temporal resample and the denoise stencil read across row-tile
-    boundaries; XLA's SPMD partitioner inserts the halo exchanges
-    (collective-permutes) over ICI automatically — this is why the
-    frame is expressed as ordinary jnp ops under ``jit`` with sharding
-    annotations rather than hand-written shard_map collectives.
+    boundaries.  On the Pallas path the WHOLE per-pixel pipeline runs
+    under ``shard_map`` and keeps its single-chip kernels: each stencil
+    stage fetches a fixed row halo from the neighboring slabs with one
+    ``lax.ppermute`` edge exchange (``pipeline._edge_rows``), so a mesh
+    run pays single-chip per-stage cost plus two edge exchanges — and
+    bit-matches the single-device render.  On the portable XLA path the
+    stages are ordinary jnp ops under ``jit`` with sharding
+    annotations, and the SPMD partitioner inserts the halos.
 
 Scene data is replicated (voxel scenes are tens of MB — far below HBM),
 so the only steady-state ICI traffic is the stencil halos.
@@ -85,6 +89,7 @@ def sharded_render_frame(
             "normal": spec(P(axis)),
             "albedo": spec(P(axis)),
             "node": spec(P(axis)),
+            "depth_minmax": rep,
         },
     )
 
