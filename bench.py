@@ -38,7 +38,10 @@ def main():
     vox_path = os.path.join(here, "assets", "vox", "menger.vox")
     scene = GridScene.from_voxels(voxels_from_vox(voxio.load(vox_path)))
 
-    renderer = Renderer(scene=scene, height=HEIGHT, width=WIDTH)
+    # lean outputs: the realtime set (image/depth/probe) — the full
+    # G-buffer outputs are (H,W,3)-interleaved, a pathological TPU
+    # layout costing ~15 ms/frame at 1080p just to materialize
+    renderer = Renderer(scene=scene, height=HEIGHT, width=WIDTH, lean=True)
     # frame-filling view of the sponge (~90% pixel coverage), matching
     # the reference's demo framing
     cam = Camera(

@@ -116,16 +116,14 @@ def test_pallas_full_tile_matches_oracle():
     _compare(scene, cam, w=128, h=128, tile_h=128)
 
 
-def test_pallas_row_rectangle_matches_oracle(monkeypatch):
-    """Cross-row ray queues (VOX_QROWS > 1): each program owns a
+def test_pallas_row_rectangle_matches_oracle():
+    """Cross-row ray queues (q_rows > 1): each program owns a
     2 x c RECTANGLE of pixel blocks, queueing both block-rows' rays in
     one lane queue.  Must agree with the oracle exactly like the
     default one-row layout (covers the (block row % P) noise parity
-    and the rectangular output writes)."""
-    monkeypatch.setattr(trace_pallas, "Q_ROWS", 2)
-    # Q_ROWS is a module global, invisible to the jit cache key —
-    # drop cached specializations so the new layout actually traces
-    trace_pallas.render_sample.clear_cache()
+    and the rectangular output writes).  Knobs are a static jit
+    argument, so the 2-row layout gets its own cache entry — no
+    clear_cache hacks."""
     vl = VoxelList(
         pos=np.array(
             [[0, 0, 0], [2, 1, 0], [1, 0, 3], [-2, 1, 1]], dtype=np.int16
@@ -142,12 +140,10 @@ def test_pallas_row_rectangle_matches_oracle(monkeypatch):
     )
     scene = GridScene.from_voxels(vl)
     cam = Camera(position=np.array([0.3, 0.2, -1.5]))
-    try:
-        _compare(scene, cam, w=128, h=128)
-    finally:
-        # don't leak the 2-row specialization to later tests (the
-        # cache key can't see Q_ROWS)
-        trace_pallas.render_sample.clear_cache()
+    _compare(
+        scene, cam, w=128, h=128,
+        knobs=trace_pallas.DEFAULT_KNOBS.replace(q_rows=2),
+    )
 
 
 def test_pallas_legacy_brick_tables_match_oracle(monkeypatch):

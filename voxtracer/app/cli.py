@@ -206,6 +206,7 @@ def main(argv=None) -> int:
         denoise_radius=args.denoise_radius,
         noise_buffer=noise_buffer,
         trace_impl=args.trace_impl,
+        lean=True,
     )
 
     fixed_cam = None

@@ -97,7 +97,8 @@ def main(argv=None) -> None:
     w, h = (int(v) for v in args.size.split("x"))
     scene = load_scene(args.scene)
     r = Renderer(
-        scene=scene, height=h, width=w, denoise_radius=args.denoise_radius
+        scene=scene, height=h, width=w,
+        denoise_radius=args.denoise_radius, lean=True,
     )
     if args.static:
         path = camera_paths.static(scene)

@@ -222,6 +222,7 @@ def run_viewer(args) -> int:
         width=width,
         denoise_radius=args.denoise_radius,
         trace_impl=args.trace_impl,
+        lean=True,
     )
     ctl = FlyController()
     # start from a framing view of the scene

@@ -415,7 +415,7 @@ def main(argv=None) -> int:
     scenes = available_scenes()
     renderer = Renderer(
         scene=load_scene(args.scene), height=h, width=w,
-        denoise_radius=args.denoise_radius,
+        denoise_radius=args.denoise_radius, lean=True,
     )
     viewer = WebViewer(
         renderer,

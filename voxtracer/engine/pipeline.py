@@ -115,6 +115,11 @@ def render_frame_impl(
     resample: str = "pallas",  # "pallas" (offset-serve window) or
     #   "xla" (any-offset gather — the fast-camera-motion fallback the
     #   Renderer selects when predicted offsets exceed the window)
+    lean: bool = False,  # realtime outputs only (image/depth/probe):
+    #   the full G-buffer outputs are (H, W, 3)-interleaved arrays,
+    #   a pathological TPU layout (minor dim 3 under (8,128) tiling)
+    #   that costs ~15 ms/frame at 1080p just to materialize — skip
+    #   them unless the caller actually reads them
     shard_mesh=None,  # jax.sharding.Mesh: shard the Pallas trace stage
     shard_axis: str = "rows",
 ):
@@ -371,75 +376,95 @@ def render_frame_impl(
     }
     outputs = {
         "image": image_u8,
-        "linear": out,
-        "trace_color": gbuf["color"],
         "depth": gbuf["depth"],
-        "normal": gbuf["normal"],
-        "albedo": gbuf["albedo"],
-        "node": gbuf["node"],
-        # hit-depth extremes feed the Renderer's host-side fast-motion
-        # predictor next frame (8 bytes, fetched lazily)
-        "depth_minmax": jnp.stack(
-            [
-                jnp.min(
-                    jnp.where(gbuf["depth"] >= 0, gbuf["depth"], np.inf)
-                ),
-                jnp.max(gbuf["depth"]),
-            ]
-        ),
+        # strided depth probe (~2 KB) feeds the Renderer's host-side
+        # fast-motion predictor next frame.  Per-sample depths matter:
+        # predicting from the global depth MINIMUM misfires on any
+        # ground-level dolly (the near pixels' large offsets don't
+        # apply to the rest of the image) and would pin the slow
+        # any-offset resampler on.  The Renderer fetches this
+        # asynchronously so the frame loop keeps its dispatch pipeline.
+        "depth_probe": gbuf["depth"][
+            _PROBE_STRIDE_Y(height) // 2 :: _PROBE_STRIDE_Y(height),
+            _PROBE_STRIDE_X(width) // 2 :: _PROBE_STRIDE_X(width),
+        ],
     }
+    if not lean:
+        outputs.update(
+            {
+                "linear": out,
+                "trace_color": gbuf["color"],
+                "normal": gbuf["normal"],
+                "albedo": gbuf["albedo"],
+                "node": gbuf["node"],
+            }
+        )
     return new_state, outputs
 
 
 # Safety margins under the fused kernel's serve window (it covers y
 # offsets in [-MARGIN, WY_MAX-MARGIN] and x in ~[-128, 126]): the
-# coarse-grid predictor can under-read the true extreme by a few px.
-_PRED_MARGIN_Y = 18
-_PRED_MARGIN_X = 100
+# strided probe can under-read the true extreme by a few px.  The
+# error costs are asymmetric — an under-read restarts accumulation on
+# a few pixels for one frame (the pre-fallback behavior), an over-read
+# pays the ~10x slower any-offset resampler for the whole frame — so
+# the margins sit close to the true window.
+_PRED_MARGIN_Y = 20
+_PRED_MARGIN_X = 110
 
 
-def predict_max_offset(cam, old_cam, depth_minmax, height, width):
+def _PROBE_STRIDE_Y(height):
+    return max(1, height // 16)
+
+
+def _PROBE_STRIDE_X(width):
+    return max(1, width // 32)
+
+
+def predict_max_offset(cam, old_cam, depth_probe, height, width):
     """Host-side estimate of this frame's reprojection offsets.
 
-    Evaluates the ``temporal.comp:75-85`` reprojection on a 9x9 pixel
-    grid at the previous frame's hit-depth extremes (pure numpy — no
-    device round-trip, ~10 us).  Camera motion is continuous, so the
-    previous depth range predicts the current one; a misprediction
-    costs one frame of either restarted accumulation (under-read,
-    same as no fallback at all) or the slower any-offset resampler.
-    Returns ``(max |dy|, max |dx|)`` over valid reprojections in px.
+    Evaluates the ``temporal.comp:75-85`` reprojection at the previous
+    frame's strided depth probe — each sample at its OWN depth (pure
+    numpy, ~20 us).  Camera motion is continuous, so the previous
+    depths predict the current ones to a frame's motion.  Returns
+    ``(max |dy|, max |dx|)`` over valid reprojections in pixels.
     """
     origin, right, up, fwd = (np.asarray(v, np.float64) for v in cam)
     oo, orr, ou, of = (np.asarray(v, np.float64) for v in old_cam)
-    dmin, dmax = float(depth_minmax[0]), float(depth_minmax[1])
-    if not np.isfinite(dmin):  # no hits last frame: nothing to resample
+    d = np.asarray(depth_probe, np.float64)
+    sy_str = _PROBE_STRIDE_Y(height)
+    sx_str = _PROBE_STRIDE_X(width)
+    py = (
+        sy_str // 2 + sy_str * np.arange(d.shape[0], dtype=np.float64)
+    )[:, None]
+    px = (
+        sx_str // 2 + sx_str * np.arange(d.shape[1], dtype=np.float64)
+    )[None, :]
+    px = np.broadcast_to(px, d.shape)
+    py = np.broadcast_to(py, d.shape)
+    ok = d >= 0.0
+    if not ok.any():  # no hits last frame: nothing to resample
         return 0.0, 0.0
-    ys = np.linspace(0.0, height - 1.0, 9)
-    xs = np.linspace(0.0, width - 1.0, 9)
-    px, py = np.meshgrid(xs, ys)
-    ray = (
-        px[..., None] * right - py[..., None] * up + fwd
-    )
+    ray = px[..., None] * right - py[..., None] * up + fwd
     ray /= np.linalg.norm(ray, axis=-1, keepdims=True)
     inv = np.linalg.inv(np.stack([orr, ou, of], axis=1))
-    dy_max = dx_max = 0.0
-    for d in (dmin, dmax, float(np.sqrt(dmin * dmax))):
-        world = origin + d * ray
-        screen = (world - oo) @ inv.T
-        s2 = screen[..., 2]
-        ok = s2 > 1e-9
-        sx = np.where(ok, screen[..., 0] / np.where(ok, s2, 1.0), 0.0)
-        sy = np.where(ok, screen[..., 1] / np.where(ok, s2, 1.0), 0.0)
-        px_f = sx + 0.5
-        py_f = 0.5 - sy
-        ok &= (
-            (px_f >= 0) & (px_f <= width)
-            & (py_f >= 0) & (py_f <= height)
-        )
-        if not ok.any():
-            continue
-        dy_max = max(dy_max, float(np.abs(py_f - py)[ok].max()))
-        dx_max = max(dx_max, float(np.abs(px_f - px)[ok].max()))
+    world = origin + d[..., None] * ray
+    screen = (world - oo) @ inv.T
+    s2 = screen[..., 2]
+    ok &= s2 > 1e-9
+    s2s = np.where(ok, s2, 1.0)
+    sx = np.where(ok, screen[..., 0] / s2s, 0.0)
+    sy = np.where(ok, screen[..., 1] / s2s, 0.0)
+    px_f = sx + 0.5
+    py_f = 0.5 - sy
+    ok &= (
+        (px_f >= 0) & (px_f <= width) & (py_f >= 0) & (py_f <= height)
+    )
+    if not ok.any():
+        return 0.0, 0.0
+    dy_max = float(np.abs(py_f - py)[ok].max())
+    dx_max = float(np.abs(px_f - px)[ok].max())
     return dy_max, dx_max
 
 
@@ -447,7 +472,7 @@ render_frame = partial(
     jax.jit,
     static_argnames=(
         "scene_meta", "height", "width", "radius", "reproject",
-        "trace_impl", "resample", "shard_mesh", "shard_axis",
+        "trace_impl", "resample", "lean", "shard_mesh", "shard_axis",
     ),
     donate_argnames=("state",),
 )(render_frame_impl)
@@ -472,6 +497,7 @@ class Renderer:
     denoise_radius: int = 0
     noise_buffer: Optional[np.ndarray] = None
     trace_impl: Optional[str] = None  # "pallas" (TPU), "xla" (portable)
+    lean: bool = False  # default render() output set (see render_frame_impl)
 
     def __post_init__(self):
         if self.trace_impl is None:
@@ -495,7 +521,8 @@ class Renderer:
         self.frame_number = 0
         self.still_sample = 0
         self._last_cam: Optional[np.ndarray] = None
-        self._prev_depth_minmax = None
+        self._probe_pending = None
+        self._probe_host = None
         self.last_resample = "pallas"  # observable: last frame's choice
 
     def _upload_scene(self, scene: GridScene):
@@ -551,9 +578,13 @@ class Renderer:
     def reset_accumulation(self):
         self.state = init_state(self.height, self.width)
         self.still_sample = 0
-        self._prev_depth_minmax = None
+        self._probe_pending = None
+        self._probe_host = None
 
-    def render(self, camera: Camera) -> Dict[str, np.ndarray]:
+    def render(
+        self, camera: Camera, lean: Optional[bool] = None
+    ) -> Dict[str, np.ndarray]:
+        lean = self.lean if lean is None else lean
         right, up, forward = camera.axis_scaled(self.width, self.height)
         cam = np.stack(
             [np.asarray(camera.position), right, up, forward]
@@ -570,16 +601,32 @@ class Renderer:
         # resampler keeps history alive instead of restarting
         # accumulation (temporal.comp:92-114 accepts any in-frame
         # offset; the Pallas window covers ~±24 px of y motion).
+        # Materialize the async depth-probe fetch ONLY when it has
+        # already landed: a blocking fetch would cap the dispatch
+        # pipeline at one frame of lookahead and add a host round-trip
+        # per frame (measured +20 ms/frame through the axon tunnel).
+        # The probe being a few frames stale is fine — camera motion
+        # is continuous and the margins absorb a frame of drift.
+        if self._probe_pending is not None:
+            ready = True
+            try:
+                ready = bool(self._probe_pending.is_ready())
+            except Exception:
+                pass
+            if ready:
+                self._probe_host = np.asarray(self._probe_pending)
+                self._probe_pending = None
+
         resample = "pallas"
         if (
             moved
             and prev_cam is not None
             and self.trace_impl.startswith("pallas")
-            and self._prev_depth_minmax is not None
+            and self._probe_host is not None
         ):
-            dmm = np.asarray(self._prev_depth_minmax)
             dy, dx = predict_max_offset(
-                tuple(cam), tuple(prev_cam), dmm, self.height, self.width
+                tuple(cam), tuple(prev_cam), self._probe_host,
+                self.height, self.width,
             )
             if dy > _PRED_MARGIN_Y or dx > _PRED_MARGIN_X:
                 resample = "xla"
@@ -604,6 +651,12 @@ class Renderer:
             reproject=moved,
             trace_impl=self.trace_impl,
             resample=resample,
+            lean=lean,
         )
-        self._prev_depth_minmax = outputs["depth_minmax"]
+        if self._probe_pending is None:
+            self._probe_pending = outputs["depth_probe"]
+            try:
+                self._probe_pending.copy_to_host_async()
+            except Exception:
+                pass  # backend without async copy: is_ready-gated fetch
         return outputs

@@ -116,9 +116,17 @@ def temporal_blend(
         basis = jnp.stack([o_right, o_up, o_forward], axis=1)  # 3x3 columns
         inv = _inv3(basis)
         rel = world - o_origin
-        screen = jnp.einsum("ij,hwj->hwi", inv, rel)
-        sx = screen[..., 0] / screen[..., 2]
-        sy = screen[..., 1] / screen[..., 2]
+        # explicit component products, NOT einsum: a dot_general at
+        # default precision runs the MXU in bf16 on TPU (~4e-3
+        # relative), which moves reprojection coords by ~0.2 px —
+        # elementwise VPU math stays exact f32 (and matches the fused
+        # Pallas kernel's arithmetic)
+        rx, ry, rz = rel[..., 0], rel[..., 1], rel[..., 2]
+        s0 = inv[0, 0] * rx + inv[0, 1] * ry + inv[0, 2] * rz
+        s1 = inv[1, 0] * rx + inv[1, 1] * ry + inv[1, 2] * rz
+        s2 = inv[2, 0] * rx + inv[2, 1] * ry + inv[2, 2] * rz
+        sx = s0 / s2
+        sy = s1 / s2
         tex_x = (sx + 0.5) / width
         tex_y = (sy - 0.5) / -height
         in_range = (

@@ -40,6 +40,7 @@ gather does NOT decompose into a row-select tree + column gather.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Dict, Tuple
 
@@ -132,9 +133,58 @@ BLOCK_OF = {2: 16, 8: 32, 32: 64, 128: 128}
 BLOCK = BLOCK_OF[TILE_H]
 
 
+@dataclasses.dataclass(frozen=True)
+class TraceKnobs:
+    """Kernel perf knobs as one hashable static argument: every knob
+    participates in the jit cache key, so in-process sweeps and tests
+    never need ``clear_cache`` hacks and a stale specialization can
+    never be silently reused.  The module-level ``VOX_*`` env vars
+    feed the DEFAULTS (probe-only path for subprocess sweeps);
+    production code passes knobs explicitly via :func:`pick_knobs`.
+
+    The values baked here are the round-2 swept optima (see
+    docs/BASELINE_RESULTS.md, including the measured dead-ends before
+    re-probing): (32, 128) tiles, META_WIN 24 / BRICK_WIN 16 serve
+    windows, 5-step micro-DDA, single-window ladder, column queues up
+    to 30 blocks with a two-step swap cadence.
+    """
+
+    tile_h: int = TILE_H
+    meta_win: int = META_WIN
+    brick_win: int = BRICK_WIN
+    micro_steps: int = MICRO_STEPS
+    fine_win: int = FINE_WIN
+    ladder: int = LADDER
+    bladder: int = BLADDER
+    farpair: bool = FARPAIR
+    q_blocks: int = Q_BLOCKS
+    qswap: int = QSWAP
+    q_rows: int = Q_ROWS
+    merge_shadow: bool = MERGE_SHADOW
+
+    def replace(self, **kw) -> "TraceKnobs":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_KNOBS = TraceKnobs()
+
+
+def pick_knobs(height: int = 0, width: int = 0) -> TraceKnobs:
+    """Per-image knob selection.
+
+    The swept optima are resolution-independent for tile shape and
+    serve windows (every alternative measured worse — see the
+    dead-ends list in docs/BASELINE_RESULTS.md); the one genuinely
+    image-dependent choice, queue depth vs image width, is made in
+    :func:`render_sample` where the block geometry is known.  The env
+    defaults ride in via ``DEFAULT_KNOBS`` for probe sweeps."""
+    return DEFAULT_KNOBS
+
+
 def pick_tile(height: int = 0, width: int = 0) -> int:
-    """Lane-tile height; the image size is accepted but currently
-    unused — the choice measured resolution-independent.
+    """Lane-tile height for :func:`noise_quads` (the image size is
+    accepted for a future resolution-dependent policy; the choice
+    measured resolution-independent).
 
     Full (128, 128) register planes were probed as an alternative to
     the (32, 128) tile: fewer, larger programs, but a clean in-process
@@ -143,11 +193,8 @@ def pick_tile(height: int = 0, width: int = 0) -> int:
     planes hurt more than the amortized fixed costs help), so the
     (32, 128) tile stays the choice at every resolution.  The 128 path
     remains fully supported (oracle-parity tested) for perf probes via
-    the VOX_TILE_H env override, which pins the module default
-    everywhere."""
-    if "VOX_TILE_H" in _os.environ:
-        return TILE_H
-    return 32
+    the VOX_TILE_H env override."""
+    return pick_knobs(height, width).tile_h
 
 # float32 params vector layout (SMEM row):
 #   0-2 cam origin | 3-5 right | 6-8 up | 9-11 forward(pixel-scaled)
@@ -395,7 +442,9 @@ def _serve_loop_hbm(
     return word, cached, kf
 
 
-def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
+def _serve_loop_pair(
+    ref, n_rows_, waddr, need0, lo, hi, cached, win, ladder=BLADDER
+):
     """Window-serve per-lane word PAIRS from the split brick tables:
     ``ref`` is (2, rows, 128), both halves indexed by the same node
     linear address.  One window sweep serves lo and hi together, and a
@@ -430,7 +479,7 @@ def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
     needf0 = (need_i == 1) & (waddr != cached)
     r_min = jnp.min(jnp.where(needf0, rows, BIG_I32))
     r0 = jnp.clip(r_min, 0, n_rows_ - win)
-    for k in range(min(BLADDER, -(-n_rows_ // win))):
+    for k in range(min(ladder, -(-n_rows_ // win))):
         lo, hi, cached = sweep(
             lo, hi, cached, jnp.minimum(r0 + k * win, n_rows_ - win)
         )
@@ -461,7 +510,7 @@ def _serve_loop_pair(ref, n_rows_, waddr, need0, lo, hi, cached, win):
 def _make_traverse(
     dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
     fine_in_hbm=False, brick_dedup=True, qswap=None,
-    max_ray_steps=None,
+    max_ray_steps=None, knobs: TraceKnobs = DEFAULT_KNOBS,
 ):
     """Build the in-kernel node-DDA traversal closure.
 
@@ -480,9 +529,12 @@ def _make_traverse(
     fetches.
     """
     if qswap is None:
-        qswap = QSWAP
+        qswap = knobs.qswap
     if max_ray_steps is None:
         max_ray_steps = MAX_RAY_STEPS
+    # <=0 disables the per-ray fuse (perf A/B probe): the queue falls
+    # back to the shared 4096-step backstop only
+    fuse_on = max_ray_steps > 0
     X, Y, Z = (int(d) for d in dims)
     QX, QY, QZ = (int(d) for d in l3_dims)
     QZW2 = -(-QZ // 2)
@@ -592,7 +644,7 @@ def _make_traverse(
             m_addr = jnp.where(act, l3_col * QZW2 + (qz >> 1), 0)
             m_word, m_cached, kf = _serve_loop(
                 meta_ref, m_rows, m_addr, act, m_word, m_cached,
-                win=META_WIN,
+                win=knobs.meta_win, ladder=knobs.ladder,
             )
             nserv = nserv + kf
             val = (m_word >> ((qz & 1) << 4)) & 0xFFFF
@@ -636,7 +688,7 @@ def _make_traverse(
                 b_addr = jnp.where(b_need, l3_col * QZ + qz, 0)
                 b_lo, b_hi, b_cached, kf2 = _serve_loop_pair(
                     brick_ref, b_rows, b_addr, b_need, b_lo, b_hi,
-                    b_cached, win=BRICK_WIN,
+                    b_cached, win=knobs.brick_win, ladder=knobs.bladder,
                 )
                 nact = nact + kf2
                 b_slot = val & 0x3FF
@@ -659,7 +711,7 @@ def _make_traverse(
                 bitk = ((cxm & 1) << 4) | ((cy_ & 3) << 2) | (cz_ & 3)
                 return ((w >> bitk) & 1) == 1
 
-            for _ in range(MICRO_STEPS):
+            for _ in range(knobs.micro_steps):
                 # lanes stop on a set bit, freezing (cell, t) AT the
                 # hit — recorded once after the unroll
                 run = run & (~brick_bit(cx, cy, cz))
@@ -782,12 +834,12 @@ def _make_traverse(
             scratch, sem = fine_dma
             fword, _, kf2 = _serve_loop_hbm(
                 table_ref, scratch, sem, n_rows, fwaddr, need_slot,
-                zero_i, zero_i - 1, win=FINE_WIN,
+                zero_i, zero_i - 1, win=knobs.fine_win,
             )
         else:
             fword, _, kf2 = _serve_loop(
                 table_ref, n_rows, fwaddr, need_slot, zero_i, zero_i - 1,
-                win=FINE_WIN, ladder=0,
+                win=knobs.fine_win, ladder=0,
             )
         hslot = jnp.where(
             need_slot, (fword >> ((hcz - fzw * 3) * 10)) & 1023, hslot_u
@@ -987,7 +1039,9 @@ def _make_traverse(
         # termination, this only guards against a logic bug — set it
         # past the worst case (every queued ray fusing) so it can
         # never starve a ray of its per-ray budget.
-        outer_cap = np.int32(N * max_ray_steps + N * qswap)
+        outer_cap = np.int32(
+            N * max_ray_steps + N * qswap if fuse_on else 4096
+        )
 
         # state layout: it | counters(3) | qidx | steps | ray(9) |
         #               trav(5) | mst(M) | recs(7) | saved(3*(N-1))
@@ -1022,8 +1076,9 @@ def _make_traverse(
             # may overrun by <= qswap-1 steps before fusing — the cap
             # bounds work per ray; it is not a step-exact reference
             # match (the algorithms count different step kinds anyway)
-            steps = steps + np.int32(qswap)
-            trav, recs = fuse_capped(steps, trav, recs)
+            if fuse_on:
+                steps = steps + np.int32(qswap)
+                trav, recs = fuse_capped(steps, trav, recs)
             qidx, steps, ray, trav, recs, saved = swap(
                 qidx, steps, ray, trav, recs, saved
             )
@@ -1076,19 +1131,21 @@ def _make_kernel(
     dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
     max_bounces=MAX_BOUNCES, fine_in_hbm=False, nbx2=1, q_cols=2,
     q_rows=1, brick_dedup=True, tile_h=TILE_H, qswap=None,
-    max_ray_steps=None,
+    max_ray_steps=None, knobs: TraceKnobs = DEFAULT_KNOBS,
 ):
     traverse, traverse_qn = _make_traverse(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
         fine_in_hbm=fine_in_hbm, brick_dedup=brick_dedup, qswap=qswap,
-        max_ray_steps=max_ray_steps,
+        max_ray_steps=max_ray_steps, knobs=knobs,
     )
     block = BLOCK_OF[tile_h]
     p_par = 128 // block  # noise-quad parity period per axis
     q_blocks = q_rows * q_cols  # rays queued per lane
+    farpair = knobs.farpair
+    merge_shadow = knobs.merge_shadow
 
-    assert not (FARPAIR and (q_cols, q_rows) != (2, 1)), (
-        "VOX_FARPAIR needs a 1x2 program rectangle"
+    assert not (farpair and (q_cols, q_rows) != (2, 1)), (
+        "farpair needs a 1x2 program rectangle"
     )
 
     def kernel(
@@ -1153,7 +1210,7 @@ def _make_kernel(
             grid; the program owns a q_rows x q_cols rectangle."""
             rr, cc = divmod(q, q_cols)
             bi = ti * q_rows + rr
-            if FARPAIR:
+            if farpair:
                 bj = tj + cc * nbx2
             else:
                 bj = tj * q_cols + cc
@@ -1410,7 +1467,7 @@ def _make_kernel(
                 )
                 for g in G
             ]
-            if MERGE_SHADOW and bounce > 0:
+            if merge_shadow and bounce > 0:
                 # the previous bounce's shadow rays ride this march as
                 # extra queue entries: 4 while loops/frame instead of
                 # 6, and 2x the rays per lane to average the
@@ -1432,7 +1489,7 @@ def _make_kernel(
                 iter_counts.append(it_b)
             for g, res in zip(G, results):
                 shade_hit(g, res, bounce)
-            if not MERGE_SHADOW:
+            if not merge_shadow:
                 sresults, it_s = traverse_qn(
                     table_ref, meta_ref, brick_ref,
                     [g["s_ray"] for g in G], fine_dma=fine_dma,
@@ -1441,7 +1498,7 @@ def _make_kernel(
                 for g, sres in zip(G, sresults):
                     shade_light(g, sres[0])
 
-        if MERGE_SHADOW:
+        if merge_shadow:
             # the last bounce's shadow rays get their own (final) phase
             sresults, it_s = traverse_qn(
                 table_ref, meta_ref, brick_ref,
@@ -1502,7 +1559,7 @@ def _pad_to(x, m):
     static_argnames=(
         "dims", "zw", "origin", "n_rows", "l3_dims", "m_rows",
         "b_rows", "height", "width", "interpret", "max_bounces",
-        "fine_in_hbm", "max_ray_steps",
+        "fine_in_hbm", "max_ray_steps", "knobs",
     ),
 )
 def render_sample(
@@ -1526,19 +1583,24 @@ def render_sample(
     max_bounces: int = MAX_BOUNCES,
     fine_in_hbm: bool = False,
     max_ray_steps: int = None,
+    knobs: TraceKnobs = None,
 ) -> Dict[str, jnp.ndarray]:
     """Trace one sample with the Pallas kernel; same output dict as
     :func:`voxtracer.ops.trace_xla.render_sample` (H, W shapes).
     ``noise_q`` is the tiny periodic quad table from
     :func:`noise_quads` — no full-image noise planes exist anywhere.
     The lane-tile height is DERIVED from the quad shape (axis 3), so
-    callers pick it once, at noise_quads time (pick_tile)."""
+    callers pick it once, at noise_quads time (pick_tile).  ``knobs``
+    (default :func:`pick_knobs`) is a static argument, so every perf
+    knob is part of the jit cache key."""
+    if knobs is None:
+        knobs = pick_knobs(height, width)
     tile_h = int(noise_q.shape[3])
     block = BLOCK_OF[tile_h]
     # q_rows block-rows per program (height padding must stay small:
     # a full wasted block-row is real traced work)
     q_rows = 1
-    for cand in range(1, Q_ROWS + 1):
+    for cand in range(1, knobs.q_rows + 1):
         if _pad_to(height, cand * block) <= _pad_to(height, block) + block:
             q_rows = cand
     hp = _pad_to(height, q_rows * block)
@@ -1550,9 +1612,9 @@ def render_sample(
     # ~20-block programs; narrower ones may take the full row (1080p:
     # q=30 17.3 ms beats its only alternative q=15 at 18.6).
     cap = (
-        Q_BLOCKS
+        knobs.q_blocks
         if (nbx0 <= 32 or "VOX_QBLOCKS" in _os.environ)
-        else min(Q_BLOCKS, 20)
+        else min(knobs.q_blocks, 20)
     )
     # largest column count <= the cap whose width padding stays small
     q = 1
@@ -1573,7 +1635,7 @@ def render_sample(
         max_bounces=max_bounces, fine_in_hbm=fine_in_hbm,
         nbx2=nbx // 2, q_cols=q, q_rows=q_rows,
         brick_dedup=brick_dedup, tile_h=tile_h,
-        max_ray_steps=max_ray_steps,
+        max_ray_steps=max_ray_steps, knobs=knobs,
     )
 
     plane = jax.ShapeDtypeStruct((nby * tile_h, nbx * TILE_W), jnp.float32)
@@ -1595,7 +1657,7 @@ def render_sample(
     )
     scratch_shapes = (
         [
-            pltpu.VMEM((min(FINE_WIN, n_rows), 128), jnp.int32),
+            pltpu.VMEM((min(knobs.fine_win, n_rows), 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ]
         if fine_in_hbm
@@ -1647,7 +1709,7 @@ def render_sample(
 
     def crop(a):
         # invert the square-block lane layout back to image space
-        if FARPAIR:
+        if knobs.farpair:
             # program j wrote pixel blocks (j, j+nbx/2) into the
             # adjacent block-column pair (2j, 2j+1): un-interleave
             b = a.reshape(nby, tile_h, nbx // 2, 2, TILE_W)

@@ -89,7 +89,7 @@ def sharded_render_frame(
             "normal": spec(P(axis)),
             "albedo": spec(P(axis)),
             "node": spec(P(axis)),
-            "depth_minmax": rep,
+            "depth_probe": rep,
         },
     )
 
