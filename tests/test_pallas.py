@@ -6,6 +6,7 @@ flow; this keeps kernel-logic regressions visible in the CPU suite.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from voxtracer.engine.camera import Camera
 from voxtracer.engine.params import RenderParams
@@ -93,6 +94,7 @@ def test_pallas_interpret_matches_oracle():
     _compare(scene, cam)
 
 
+@pytest.mark.slow
 def test_pallas_full_tile_matches_oracle():
     """The (128, 128) lane tile (the VOX_TILE_H=128 probe layout; one
     pixel block spans the whole noise quad, P == 1) must agree with
@@ -116,6 +118,7 @@ def test_pallas_full_tile_matches_oracle():
     _compare(scene, cam, w=128, h=128, tile_h=128)
 
 
+@pytest.mark.slow
 def test_pallas_row_rectangle_matches_oracle():
     """Cross-row ray queues (q_rows > 1): each program owns a
     2 x c RECTANGLE of pixel blocks, queueing both block-rows' rays in
@@ -146,6 +149,71 @@ def test_pallas_row_rectangle_matches_oracle():
     )
 
 
+@pytest.mark.slow
+def test_pallas_scramble_is_bit_exact():
+    """The divergent-phase lane decorrelation (knobs.scramble — a
+    static per-queue-entry sublane roll + lane XOR applied to the ray
+    planes going into the march and inverted on the results) is a pure
+    permutation: every output plane must be BIT-identical to the
+    unscrambled kernel.  Width 256 gives a 4-deep queue so entries
+    1-3 actually permute (entry 0 is the identity)."""
+    vl = VoxelList(
+        pos=np.array(
+            [[0, 0, 0], [2, 1, 0], [1, 0, 3], [-2, 1, 1]], dtype=np.int16
+        ),
+        mrgb=np.array(
+            [
+                [0, 200, 100, 50],
+                [0x40, 255, 10, 10],
+                [0, 10, 255, 10],
+                [0, 90, 90, 240],
+            ],
+            dtype=np.uint8,
+        ),
+    )
+    scene = GridScene.from_voxels(vl)
+    cam = Camera(position=np.array([0.3, 0.2, -1.5]))
+    params = RenderParams()
+    w, h = 256, 64
+    right, up, forward = cam.axis_scaled(w, h)
+    buf = noise_op.white_noise_buffer(seed=7, count=32)
+    t = scene.device_tables()
+    cam_arr = np.stack([cam.position, right, up, forward]).astype(np.float32)
+    pvec = trace_pallas.pack_params(cam_arr, params)
+    nq = trace_pallas.noise_quads(jnp.asarray(buf), jnp.int32(1))
+
+    def run(knobs):
+        out = trace_pallas.render_sample(
+            jnp.asarray(t["packed_idx"]),
+            jnp.asarray(t["meta_idx"]),
+            jnp.asarray(t["brick_idx"]),
+            jnp.asarray(t["palette"]),
+            jnp.asarray(pvec),
+            nq,
+            dims=scene.values.shape,
+            zw=t["zw"],
+            origin=tuple(int(v) for v in scene.origin),
+            n_rows=t["packed_idx"].shape[0],
+            l3_dims=t["l3_dims"],
+            m_rows=t["meta_idx"].shape[0],
+            b_rows=t["brick_idx"].shape[1],
+            height=h,
+            width=w,
+            interpret=True,
+            knobs=knobs,
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    base = run(trace_pallas.DEFAULT_KNOBS.replace(scramble=0))
+    for mode in (1, 3):
+        scr = run(trace_pallas.DEFAULT_KNOBS.replace(scramble=mode))
+        for k in ("color", "normal", "depth", "node", "albedo"):
+            np.testing.assert_array_equal(
+                scr[k], base[k], err_msg=f"scramble={mode} {k}"
+            )
+
+
+@pytest.mark.slow
 def test_pallas_legacy_brick_tables_match_oracle(monkeypatch):
     """Scenes with more unique (mask, slot) bricks than
     BRICK_DEDUP_MAX keep per-node (2, rows, 128) brick tables with the
@@ -173,6 +241,7 @@ def test_pallas_legacy_brick_tables_match_oracle(monkeypatch):
     assert t["brick_idx"].shape[0] == 2  # per-node layout was exercised
 
 
+@pytest.mark.slow
 def test_pallas_hbm_fine_table_matches_oracle():
     """fine_in_hbm=True keeps the packed fine table out of VMEM and
     DMAs serve windows on demand (the no-cliff path for scenes beyond
@@ -198,6 +267,7 @@ def test_pallas_hbm_fine_table_matches_oracle():
     _compare(scene, cam, fine_in_hbm=True)
 
 
+@pytest.mark.slow
 def test_pallas_multi_program_pairing_geometry():
     """A 256-wide image spans TWO paired grid programs (4 pixel
     blocks): result placement across the block-pair unscramble must
@@ -220,6 +290,7 @@ def test_pallas_multi_program_pairing_geometry():
     _compare(scene, cam, w=256, h=64, seed=13)
 
 
+@pytest.mark.slow
 def test_pallas_sparse_scene_distance_field_jumps():
     """Sparse 64^3-class scene: long empty runs force multi-block
     distance-field jumps (the old bitmap skipped one block at a time);

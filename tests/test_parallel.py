@@ -42,7 +42,9 @@ def _setup(height, width):
     return scene, meta, args
 
 
-@pytest.mark.parametrize("radius", [0, 2])
+@pytest.mark.parametrize(
+    "radius", [0, pytest.param(2, marks=pytest.mark.slow)]
+)
 def test_sharded_matches_single_device(radius):
     n_dev = len(jax.devices())
     assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
@@ -150,6 +152,7 @@ def test_sharded_pallas_post_stages_bitmatch_with_motion():
         )
 
 
+@pytest.mark.slow
 def test_sharded_pallas_matches_single_device():
     """The flagship Pallas kernel family composes with the mesh: the
     trace stage runs under shard_map (one row slab per device, params

@@ -4,6 +4,8 @@ host-only fps counter, src/context.rs:559-588)."""
 
 import numpy as np
 
+import pytest
+
 from voxtracer.app import camera_paths, profile as profile_mod
 from voxtracer.engine.pipeline import Renderer
 from voxtracer.scene import GridScene, VoxelList
@@ -19,6 +21,7 @@ def _tiny_scene():
     return GridScene.from_voxels(vl)
 
 
+@pytest.mark.slow
 def test_profile_frames_reports_ops(tmp_path):
     scene = _tiny_scene()
     r = Renderer(scene=scene, height=64, width=64)

@@ -99,6 +99,42 @@ def test_trace_kernel_matches_oracle_on_hardware():
 
 
 @requires_tpu
+def test_scramble_is_bit_exact_on_hardware():
+    """The divergent-phase lane decorrelation (knobs.scramble) is a
+    pure permutation — compiled output must be BIT-identical to the
+    unscrambled kernel (the CPU suite proves this in the interpreter;
+    here the real Mosaic lowering of pltpu.roll + the XOR lane gather
+    is on trial).  720-wide menger gives a deep queue."""
+    from voxtracer.engine.camera import Camera
+    from voxtracer.io import vox as voxio
+    from voxtracer.ops import trace_pallas
+    from voxtracer.scene import GridScene, voxels_from_vox
+
+    import tests.conftest as cf
+
+    scene = GridScene.from_voxels(
+        voxels_from_vox(voxio.load(cf.vox_dir() + "/menger.vox"))
+    )
+    h, w = 128, 768
+    cam = Camera(
+        position=np.array([36.0, 34.0, -5.0]),
+        direction=np.array([-16.0, -14.0, 25.0]),
+    )
+    base, _ = _trace(
+        scene, cam, h, w,
+        knobs=trace_pallas.pick_knobs(h, w).replace(scramble=0),
+    )
+    scr, _ = _trace(
+        scene, cam, h, w,
+        knobs=trace_pallas.pick_knobs(h, w).replace(scramble=3),
+    )
+    for k in ("color", "normal", "depth", "node", "albedo"):
+        np.testing.assert_array_equal(
+            scr[k], base[k], err_msg=f"scramble {k}"
+        )
+
+
+@requires_tpu
 def test_hbm_fine_table_mode_matches_vmem_mode():
     from voxtracer.engine.camera import Camera
     from voxtracer.io import vox as voxio

@@ -122,10 +122,15 @@ def render_frame_impl(
     #   them unless the caller actually reads them
     shard_mesh=None,  # jax.sharding.Mesh: shard the Pallas trace stage
     shard_axis: str = "rows",
+    trace_knobs=None,  # TraceKnobs override (hashable static); None ->
+    #   trace_pallas.pick_knobs(height, width).  The in-process A/B
+    #   harness (app/abench.py) and per-scene tuning thread through
+    #   here; every knob participates in the jit cache key.
 ):
     dims, origin, zw, n_rows, l3_dims, m_rows, b_rows = scene_meta
     use_pallas = trace_impl.startswith("pallas")
     interpret = trace_impl == "pallas_interpret"
+    knobs = trace_knobs or trace_pallas.pick_knobs(height, width)
 
     cam_tuple = (cam[0], cam[1], cam[2], cam[3])
     old = state["old_cam"]
@@ -148,6 +153,7 @@ def render_frame_impl(
             width=width,
             interpret=interpret,
             fine_in_hbm=trace_impl == "pallas_hbm",
+            knobs=knobs,
         )
 
     if use_pallas and shard_mesh is not None:
@@ -175,8 +181,7 @@ def render_frame_impl(
             row0f = row0.astype(jnp.float32)
             pv = pv.at[0, 30].set(row0f)
             nq = trace_pallas.noise_quads(
-                nbuf, fnum, roll=row0,
-                tile_h=trace_pallas.pick_tile(slab, width),
+                nbuf, fnum, roll=row0, tile_h=knobs.tile_h,
             )
             gbuf = trace_pallas.render_sample(
                 packed, meta, brick, pal, pv, nq,
@@ -278,7 +283,7 @@ def render_frame_impl(
         if use_pallas:
             nq = trace_pallas.noise_quads(
                 jnp.asarray(noise_buffer), frame_number,
-                tile_h=trace_pallas.pick_tile(height, width),
+                tile_h=knobs.tile_h,
             )
             gbuf = trace_pallas.render_sample(
                 scene_arrays["packed_idx"],
@@ -473,6 +478,7 @@ render_frame = partial(
     static_argnames=(
         "scene_meta", "height", "width", "radius", "reproject",
         "trace_impl", "resample", "lean", "shard_mesh", "shard_axis",
+        "trace_knobs",
     ),
     donate_argnames=("state",),
 )(render_frame_impl)
@@ -498,6 +504,8 @@ class Renderer:
     noise_buffer: Optional[np.ndarray] = None
     trace_impl: Optional[str] = None  # "pallas" (TPU), "xla" (portable)
     lean: bool = False  # default render() output set (see render_frame_impl)
+    trace_knobs: Optional[trace_pallas.TraceKnobs] = None  # kernel perf
+    #   knob override for probes / per-scene tuning (None -> pick_knobs)
 
     def __post_init__(self):
         if self.trace_impl is None:
@@ -652,6 +660,7 @@ class Renderer:
             trace_impl=self.trace_impl,
             resample=resample,
             lean=lean,
+            trace_knobs=self.trace_knobs,
         )
         if self._probe_pending is None:
             self._probe_pending = outputs["depth_probe"]

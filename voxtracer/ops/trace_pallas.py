@@ -124,6 +124,22 @@ Q_ROWS = int(_os.environ.get("VOX_QROWS", 1))
 # on menger 720p (18.7 vs 17.2 ms trace): the doubled per-iteration
 # qidx select chain outweighs the tail savings.  Kept as a probe knob.
 MERGE_SHADOW = _os.environ.get("VOX_MERGE_SHADOW", "0") == "1"
+# Lane decorrelation of the divergent phases: without it, a lane's q
+# queued rays share the same pixel offset in q adjacent blocks — the
+# SAME image row — so per-lane total bounce work is q correlated draws
+# and the while-trip tail (max over lanes) runs far past the mean
+# (~27% live-lane utilization measured on menger 720p bounce phases).
+# A static per-queue-entry lane permutation (sublane roll + lane XOR,
+# an exact involution pair, applied to the ray planes going in and the
+# result planes coming out) makes each lane's queue ~independent draws
+# instead.  bit0: scramble bounce>=1 marches (b1/s1/b2/s2); bit1: also
+# the primary-hit shadow phase (s0).  Bit-exact (pure permutation).
+# Measured (menger 720p, interleaved A/B): b1/b2 steps -21%, s1/s2
+# -10%, bounce utilization 26->34%, frame -0.5..-1.0 ms of ~14 — the
+# default.  Mode 3 (s0 too) is neutral-to-worse: primary-hit shadow
+# rays are coherent enough that the serve-locality loss cancels the
+# tail gain.
+SCRAMBLE = int(_os.environ.get("VOX_SCRAMBLE", 1))
 # Lanes cover a square BLOCK x BLOCK pixel region per program (better
 # 3-D locality for the serve loop than a raw TILE_H x TILE_W image
 # strip: ~2.5x fewer serve iterations on menger).  The image<->lane
@@ -161,6 +177,7 @@ class TraceKnobs:
     qswap: int = QSWAP
     q_rows: int = Q_ROWS
     merge_shadow: bool = MERGE_SHADOW
+    scramble: int = SCRAMBLE
 
     def replace(self, **kw) -> "TraceKnobs":
         return dataclasses.replace(self, **kw)
@@ -1143,6 +1160,7 @@ def _make_kernel(
     q_blocks = q_rows * q_cols  # rays queued per lane
     farpair = knobs.farpair
     merge_shadow = knobs.merge_shadow
+    scramble = knobs.scramble
 
     assert not (farpair and (q_cols, q_rows) != (2, 1)), (
         "farpair needs a 1x2 program rectangle"
@@ -1189,6 +1207,61 @@ def _make_kernel(
         onef = zf + 1.0
         zi = zf.astype(jnp.int32)
         lane = iy * TILE_W + ix
+
+        def _lane_shuffle(x, sq, inv):
+            """Static lane decorrelation for queue entry ``sq``:
+            sublane roll (crosses pixel-row bands) + a row-mixed
+            affine lane permutation (odd multiplier => bijective mod
+            128; the row term makes the column map differ per sublane,
+            so the whole map is NOT a translation — a pure XOR/shift
+            left neighboring lanes with neighboring queue sums and the
+            while-trip max barely moved).  Within-row gather is the
+            fast primitive; the two directions are exact inverses, so
+            scrambled phases stay bit-identical.  sq == 0 is identity."""
+            r = (sq * 11) % tile_h
+            a = (2 * sq + 1) % TILE_W  # odd: invertible mod 128
+            c = (sq * 37) % TILE_W
+            if sq == 0:
+                return x
+            a_inv = pow(a, -1, TILE_W)
+            isbool = x.dtype == jnp.bool_
+            xb = x.astype(jnp.int32) if isbool else x
+            mixed = 13 * iy
+            if not inv:
+                if r:
+                    xb = pltpu.roll(xb, r, 0)
+                idx = (a * ix + c + mixed) & (TILE_W - 1)
+                xb = jnp.take_along_axis(xb, idx, axis=1)
+            else:
+                idx = (a_inv * (ix - c - mixed)) & (TILE_W - 1)
+                xb = jnp.take_along_axis(xb, idx, axis=1)
+                if r:
+                    xb = pltpu.roll(xb, tile_h - r, 0)
+            return xb == 1 if isbool else xb
+
+        def scram_rays(rays_list, on):
+            if not on:
+                return rays_list
+            return [
+                (
+                    tuple(_lane_shuffle(v, sq, False) for v in o3),
+                    tuple(_lane_shuffle(v, sq, False) for v in d3),
+                    _lane_shuffle(m, sq, False),
+                )
+                for sq, (o3, d3, m) in enumerate(rays_list)
+            ]
+
+        def unscram_results(results, on):
+            if not on:
+                return results
+            out = []
+            for sq, (hit, t, slot, fused, nrm) in enumerate(results):
+                inv = lambda v: _lane_shuffle(v, sq, True)
+                out.append(
+                    (inv(hit), inv(t), inv(slot), inv(fused),
+                     tuple(inv(v) for v in nrm))
+                )
+            return out
 
         cam_o = (P(0), P(1), P(2))
         right = (P(3), P(4), P(5))
@@ -1467,6 +1540,7 @@ def _make_kernel(
                 )
                 for g in G
             ]
+            sc_b = bool(scramble & 1) and bounce >= 1
             if merge_shadow and bounce > 0:
                 # the previous bounce's shadow rays ride this march as
                 # extra queue entries: 4 while loops/frame instead of
@@ -1474,36 +1548,47 @@ def _make_kernel(
                 # divergence tail over
                 res_all, it_b = traverse_qn(
                     table_ref, meta_ref, brick_ref,
-                    [g["s_ray"] for g in G] + brays,
+                    scram_rays(
+                        [g["s_ray"] for g in G] + brays, sc_b
+                    ),
                     fine_dma=fine_dma,
                 )
+                res_all = unscram_results(res_all, sc_b)
                 iter_counts.append(it_b)
                 for g, sres in zip(G, res_all[: len(G)]):
                     shade_light(g, sres[0])
                 results = res_all[len(G) :]
             else:
                 results, it_b = traverse_qn(
-                    table_ref, meta_ref, brick_ref, brays,
+                    table_ref, meta_ref, brick_ref,
+                    scram_rays(brays, sc_b),
                     fine_dma=fine_dma,
                 )
+                results = unscram_results(results, sc_b)
                 iter_counts.append(it_b)
             for g, res in zip(G, results):
                 shade_hit(g, res, bounce)
             if not merge_shadow:
+                sc_s = bool(scramble & (1 if bounce >= 1 else 2))
                 sresults, it_s = traverse_qn(
                     table_ref, meta_ref, brick_ref,
-                    [g["s_ray"] for g in G], fine_dma=fine_dma,
+                    scram_rays([g["s_ray"] for g in G], sc_s),
+                    fine_dma=fine_dma,
                 )
+                sresults = unscram_results(sresults, sc_s)
                 iter_counts.append(it_s)
                 for g, sres in zip(G, sresults):
                     shade_light(g, sres[0])
 
         if merge_shadow:
             # the last bounce's shadow rays get their own (final) phase
+            sc_s = bool(scramble & 1)
             sresults, it_s = traverse_qn(
                 table_ref, meta_ref, brick_ref,
-                [g["s_ray"] for g in G], fine_dma=fine_dma,
+                scram_rays([g["s_ray"] for g in G], sc_s),
+                fine_dma=fine_dma,
             )
+            sresults = unscram_results(sresults, sc_s)
             iter_counts.append(it_s)
             for g, sres in zip(G, sresults):
                 shade_light(g, sres[0])
