@@ -94,10 +94,14 @@ def test_oracle_vs_xla_small_scene():
     cam = Camera(position=np.array([0.3, 0.2, -1.5]))
     w = h = 32
     o, x = _render_both(scene, cam, w, h)
-    # grazing rays may flip on 1-ulp float differences (XLA fuses FMAs);
-    # everything else agrees exactly
+    # grazing rays may flip on 1-ulp float differences (XLA fuses
+    # FMAs) — but at THIS scene/pose the measured flip count is 0, and
+    # the pinned count keeps regressions inside a ratio-threshold
+    # window visible (VERDICT r2 weakness #6)
     agree = o["node"] == x["node"]
-    assert agree.mean() > 0.995, f"node agreement {agree.mean()}"
+    assert int((~agree).sum()) == 0, (
+        f"node disagreement on {int((~agree).sum())} px (pinned: 0)"
+    )
     hit = (o["depth"] >= 0) & agree
     np.testing.assert_allclose(
         x["depth"][hit], o["depth"][hit], rtol=1e-5, atol=1e-5
@@ -119,10 +123,11 @@ def test_oracle_vs_xla_8x8x8():
     w = h = 32
     o, x = _render_both(scene, cam, w, h)
 
-    # primary geometry: exact agreement on nearly all pixels (grazing
-    # float differences may flip isolated cells)
-    same_node = (o["node"] == x["node"]).mean()
-    assert same_node > 0.99, f"node agreement {same_node}"
+    # primary geometry: grazing float differences may flip isolated
+    # cells, but at this pose the measured count is 0 — pinned exactly
+    # so sub-threshold regressions stay visible (VERDICT r2 #6)
+    n_flip = int((o["node"] != x["node"]).sum())
+    assert n_flip == 0, f"node disagreement on {n_flip} px (pinned: 0)"
     hit = (o["depth"] >= 0) & (x["depth"] >= 0) & (o["node"] == x["node"])
     np.testing.assert_allclose(
         x["depth"][hit], o["depth"][hit], rtol=1e-4, atol=1e-4
@@ -132,8 +137,10 @@ def test_oracle_vs_xla_8x8x8():
     # exception is a secondary bounce flipping on a 1-ulp grazing ray
     agree = o["node"] == x["node"]
     err = np.abs(x["color"] - o["color"]).max(axis=-1)
-    close = (err < 1e-3) & agree
-    assert close.mean() > 0.99, f"close-pixel fraction {close.mean()}"
+    n_far = int((~((err < 1e-3) & agree)).sum())
+    # measured: exactly 4 px where a secondary bounce flips on a 1-ulp
+    # grazing ray; pinned so the tolerance window can't hide growth
+    assert n_far <= 4, f"{n_far} px beyond 1e-3 (pinned: <=4)"
     assert np.median(err[agree]) < 1e-5
 
 

@@ -416,6 +416,8 @@ def render_frame_impl(
 # the margins sit close to the true window.
 _PRED_MARGIN_Y = 20
 _PRED_MARGIN_X = 110
+# Cadence of depth-probe refreshes for the predictor (frames).
+_PROBE_EVERY = 4
 
 
 def _PROBE_STRIDE_Y(height):
@@ -662,7 +664,17 @@ class Renderer:
             lean=lean,
             trace_knobs=self.trace_knobs,
         )
-        if self._probe_pending is None:
+        # Refresh the probe every few frames, not every frame: the
+        # registration + materialize cycle costs ~2 ms/frame through
+        # the axon tunnel (measured on chr_knight 720p: 12.5 vs 10.2
+        # ms/frame), real money on small frames, and camera-motion
+        # continuity already tolerates a few frames of staleness (the
+        # prediction margins absorb one frame of drift per frame of
+        # age).  Frame 1 registers immediately so the very first
+        # motion has a probe to predict from.
+        if self._probe_pending is None and (
+            self.frame_number == 1 or self.frame_number % _PROBE_EVERY == 0
+        ):
             self._probe_pending = outputs["depth_probe"]
             try:
                 self._probe_pending.copy_to_host_async()

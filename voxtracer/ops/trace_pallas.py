@@ -191,11 +191,19 @@ def pick_knobs(height: int = 0, width: int = 0) -> TraceKnobs:
 
     The swept optima are resolution-independent for tile shape and
     serve windows (every alternative measured worse — see the
-    dead-ends list in docs/BASELINE_RESULTS.md); the one genuinely
-    image-dependent choice, queue depth vs image width, is made in
-    :func:`render_sample` where the block geometry is known.  The env
-    defaults ride in via ``DEFAULT_KNOBS`` for probe sweeps."""
-    return DEFAULT_KNOBS
+    dead-ends list in docs/BASELINE_RESULTS.md).  The one genuinely
+    image-dependent choice is queue depth vs image width: wide images
+    (>32 block columns) split each block-row into ~20-block programs
+    (4K castle: q=30 42 ms vs q=20 35.9), narrower ones may take the
+    full row (1080p: q=30 17.3 ms beats its only alternative q=15 at
+    18.6).  The policy lives HERE so an explicitly-passed knobs value
+    is always authoritative in render_sample (probe configs do what
+    they say).  The env defaults ride in via ``DEFAULT_KNOBS``."""
+    k = DEFAULT_KNOBS
+    nbx0 = -(-width // BLOCK_OF[k.tile_h]) if width else 0
+    if nbx0 > 32 and "VOX_QBLOCKS" not in _os.environ:
+        k = k.replace(q_blocks=min(k.q_blocks, 20))
+    return k
 
 
 def pick_tile(height: int = 0, width: int = 0) -> int:
@@ -1690,17 +1698,10 @@ def render_sample(
             q_rows = cand
     hp = _pad_to(height, q_rows * block)
     nbx0 = _pad_to(width, block) // block
-    # Queue-depth cap: ~20-30 rays/lane is the measured sweet spot —
-    # deeper queues pay a per-iteration qidx select chain that beats
-    # the divergence-tail savings (4K castle: q=30 42 ms vs q=20
-    # 35.9).  Wide images (>32 block columns) split each row into
-    # ~20-block programs; narrower ones may take the full row (1080p:
-    # q=30 17.3 ms beats its only alternative q=15 at 18.6).
-    cap = (
-        knobs.q_blocks
-        if (nbx0 <= 32 or "VOX_QBLOCKS" in _os.environ)
-        else min(knobs.q_blocks, 20)
-    )
+    # Queue-depth cap: knobs.q_blocks is authoritative (the wide-image
+    # ~20-block policy lives in pick_knobs, where default knobs are
+    # chosen — an explicit probe config is never silently clamped).
+    cap = knobs.q_blocks
     # largest column count <= the cap whose width padding stays small
     q = 1
     for cand in range(1, min(cap, nbx0) + 1):
