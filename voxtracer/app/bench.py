@@ -36,26 +36,38 @@ def _sync(out):
     return float(np.asarray(jnp.sum(out["depth"])))
 
 
-def _time_frames(renderer, cameras, full_out=True):
+def _time_frames(renderer, cameras, full_out=True, per_frame=None):
     # Warm pass over the WHOLE camera sequence first: it compiles
     # every jit variant the sequence triggers (moving + static
     # temporal, and any predictor-selected any-offset resample
     # fallback) and rides out the remote service's slow first
     # executions of a fresh compile (10-200 s variance — measured
-    # contaminating a 2-frame-warmup timed region by 2-3x).  The timed
-    # second pass is steady state.  Timing runs LEAN (realtime output
-    # set — what a production loop materializes); one full render
-    # afterwards supplies the G-buffer for post-analysis.
-    for cam in cameras:
-        out = renderer.render(cam, lean=True)
-    _sync(out)
-    t0 = time.perf_counter()
-    for cam in cameras[1:]:
-        out = renderer.render(cam, lean=True)
-    _sync(out)
-    dt = (time.perf_counter() - t0) / max(1, len(cameras) - 1)
+    # contaminating a 2-frame-warmup timed region by 2-3x).  Then two
+    # timed passes, best reported (same best-of-N philosophy as the
+    # headline bench: the shared service swings ±30% across minutes
+    # and the ramp can outlive one warm pass at 4K).  Timing runs
+    # LEAN (realtime output set — what a production loop
+    # materializes); one full render afterwards supplies the G-buffer
+    # for post-analysis.  ``per_frame(i)`` lets a config mutate live
+    # parameters mid-sequence (config 5's animated sun).
+    def run(pass_cams, start):
+        for i, cam in enumerate(pass_cams, start):
+            if per_frame is not None:
+                per_frame(i)
+            out = renderer.render(cam, lean=True)
+        _sync(out)
+
+    run(cameras, 0)
+    dt = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run(cameras[1:], 1)
+        cand = (time.perf_counter() - t0) / max(1, len(cameras) - 1)
+        dt = cand if dt is None else min(dt, cand)
     if full_out:
         out = renderer.render(cameras[-1], lean=False)
+    else:
+        out = renderer.render(cameras[-1], lean=True)
     return dt, out
 
 
@@ -248,20 +260,22 @@ def config4_monu9_full(quick=False):
 
 
 def config5_castle_4k(quick=False):
+    import dataclasses
+
     scene = load_scene("castle")
     frames = 2 if quick else 4
     r = Renderer(scene=scene, height=2160, width=3840)
     cam = camera_paths.static(scene)(0.0)
-    cams = []
-    for i in range(frames + 1):
-        # animated sun: yaw sweeps while the camera holds still
-        import dataclasses
+    cams = [cam] * (frames + 1)
 
+    def sun_sweep(i):
+        # animated sun: yaw sweeps while the camera holds still
+        # (params are traced jit args — the sweep must not recompile)
         r.render_params = dataclasses.replace(
             r.render_params, sun_yaw=1.32 + 0.05 * i
         )
-        cams.append(cam)
-    dt, _ = _time_frames(r, cams)
+
+    dt, _ = _time_frames(r, cams, per_frame=sun_sweep)
     _emit(
         config=5,
         name="castle 4K animated sun (stretch)",
