@@ -133,7 +133,14 @@ MERGE_SHADOW = _os.environ.get("VOX_MERGE_SHADOW", "0") == "1"
 # an exact involution pair, applied to the ray planes going in and the
 # result planes coming out) makes each lane's queue ~independent draws
 # instead.  bit0: scramble bounce>=1 marches (b1/s1/b2/s2); bit1: also
-# the primary-hit shadow phase (s0).  Bit-exact (pure permutation).
+# the primary-hit shadow phase (s0).  Bit-exact as an algebra (pure
+# permutation; the interpreter suite proves output bit-identity).  On
+# hardware, comparing the scrambled and unscrambled COMPILED programs
+# carries the usual cross-compilation caveat: FMA-contraction choices
+# differ between the two programs, so a grazing secondary ray can
+# flip hit/miss on a 1-ulp t difference (measured: 2 color-only px at
+# 128x768 menger, all geometry channels bit-identical —
+# tests/test_tpu.py pins both).
 # Measured (menger 720p, interleaved A/B): b1/b2 steps -21%, s1/s2
 # -10%, bounce utilization 26->34%, frame -0.5..-1.0 ms of ~14 — the
 # default.  Mode 3 (s0 too) is neutral-to-worse: primary-hit shadow
