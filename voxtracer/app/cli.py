@@ -165,6 +165,13 @@ def make_params(args) -> RenderParams:
     return RenderParams(**kwargs)
 
 
+def _depth_sum(out):
+    """4-byte on-device-reduced sync target for --stats frame timing."""
+    import jax.numpy as jnp
+
+    return jnp.sum(out["depth"])
+
+
 def main(argv=None) -> int:
     setup_logging()
     args = build_parser().parse_args(argv)
@@ -247,8 +254,15 @@ def main(argv=None) -> int:
             watcher.poll()
         if fixed_cam is None:
             camera = path((start_frame + i) / args.fps_target)
+        # Per-frame device syncs are only taken under --stats: forcing
+        # a fetch every frame caps the dispatch pipeline at one frame
+        # of lookahead and measured 154 ms/frame where the unsynced
+        # loop runs 11 (960x540 chr_knight through the axon tunnel).
+        # The cheap 4-byte scalar is still 3x cheaper than fetching an
+        # image texel (48 vs 154 ms) — u8 slice gathers are slow.
         out = timer.measure(
-            "frame", renderer.render, camera, sync=lambda o: o["image"][0, 0]
+            "frame", renderer.render, camera,
+            sync=_depth_sum if args.stats else None,
         )
         fps.tick()
         if args.video_dir:

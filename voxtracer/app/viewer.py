@@ -238,6 +238,7 @@ def run_viewer(args) -> int:
         stdscr.nodelay(True)
         fps = FpsCounter()
         look = vs.look_pixels
+        pending = None
         while True:
             # drain input
             while True:
@@ -260,7 +261,18 @@ def run_viewer(args) -> int:
 
             cam = ctl.update(0.0)
             out = renderer.render(cam)
-            img = np.asarray(out["image"])
+            # one frame of lookahead: blit LAST frame's image while the
+            # device works on this one (a blocking per-frame fetch
+            # serializes the dispatch pipeline — see app/web._loop)
+            try:
+                out["image"].copy_to_host_async()
+            except Exception:
+                pass
+            if pending is None:
+                pending = out["image"]
+                continue
+            img = np.asarray(pending)
+            pending = out["image"]
             fps.tick()
 
             rows, cols = stdscr.getmaxyx()

@@ -197,11 +197,14 @@ class WebViewer:
             self._thread.join(timeout=10)
 
     def render_once(self, dt: float = 1 / 30.0):
-        """One frame: advance controller, render, encode, publish."""
+        """One frame: advance controller, render, encode, publish
+        (synchronous — the single-step path tests drive)."""
         with self.lock:
             cam = self.ctl.update(dt)
         out = self.renderer.render(cam)
-        img = np.asarray(out["image"])
+        self._publish(np.asarray(out["image"]))
+
+    def _publish(self, img: np.ndarray):
         data, mime = _encode_jpeg(img)
         with self.frame_ready:
             self.latest, self.latest_mime = data, mime
@@ -210,17 +213,39 @@ class WebViewer:
             self.frame_ready.notify_all()
 
     def _loop(self):
+        # One frame of lookahead: dispatch frame N+1 BEFORE fetching
+        # frame N's image, so the (blocking) host fetch overlaps the
+        # device's work on the next frame instead of serializing the
+        # pipeline (the CLI measured a per-frame blocking fetch at
+        # 154 ms where the unsynced loop runs 11).  Costs one frame
+        # of display latency.
         last = time.perf_counter()
+        pending = None
         while self.running:
             now = time.perf_counter()
             dt, last = now - last, now
             try:
-                self.render_once(min(dt, 0.25))
+                with self.lock:
+                    cam = self.ctl.update(min(dt, 0.25))
+                out = self.renderer.render(cam)
+                try:
+                    out["image"].copy_to_host_async()
+                except Exception:
+                    pass
+                if pending is not None:
+                    self._publish(np.asarray(pending))
+                pending = out["image"]
             except Exception:  # pragma: no cover - keep serving
                 import traceback
 
                 traceback.print_exc()
+                pending = None
                 time.sleep(0.5)
+        if pending is not None:  # flush the lookahead frame
+            try:
+                self._publish(np.asarray(pending))
+            except Exception:  # pragma: no cover
+                pass
 
     def wait_frame(self, after: int, timeout: float = 5.0):
         """Block until a frame newer than ``after`` exists."""
