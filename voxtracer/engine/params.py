@@ -70,6 +70,76 @@ class DenoiseParams:
 DENOISE_RADIUS_DEFAULT = 0  # src/context.rs:316-325
 
 
+# -- packed per-frame inputs ------------------------------------------
+#
+# The frame function's dynamic inputs (camera basis + all three param
+# pytrees + frame number) are ~30 scalars.  Passed as separate jit
+# args they become ~6 separate host->device transfers per frame;
+# through the remote-tunnel dispatch path each small copy costs real
+# time (profiled at 4K: ~1.9 ms/frame of copy-starts for a (4,3), a
+# (1,48) and three (3,) arrays).  The Renderer therefore ships ONE
+# (1, 32) f32 vector and the jitted wrapper unpacks it into traced
+# scalars — parameter changes still never retrace.
+#
+# Layout: 0-11 cam rows (origin, right, up, forward(pixel-scaled)) |
+# 12-23 RenderParams (field order below) | 24-26 TemporalParams |
+# 27-29 DenoiseParams | 30 frame_number (f32-exact below 2**24) |
+# 31 pad.
+PACKED_LEN = 32
+
+
+def pack_frame_inputs(cam, rp, tp, dp, frame_number):
+    """Host-side: one (1, PACKED_LEN) float32 vector for the frame."""
+    import numpy as np
+
+    v = np.zeros((1, PACKED_LEN), np.float32)
+    v[0, 0:12] = np.asarray(cam, np.float32).reshape(12)
+    v[0, 12] = rp.emit_strength
+    v[0, 13] = rp.sun_strength
+    v[0, 14] = rp.sun_size
+    v[0, 15] = rp.sun_yaw
+    v[0, 16] = rp.sun_pitch
+    v[0, 17:20] = rp.sun_color
+    v[0, 20:23] = rp.sky_color
+    v[0, 23] = rp.specularity
+    v[0, 24] = tp.sample_blending
+    v[0, 25] = tp.maximum_blending
+    v[0, 26] = tp.blending_distance_cutoff
+    v[0, 27] = dp.sigma_distance
+    v[0, 28] = dp.sigma_range
+    v[0, 29] = dp.albedo_factor
+    v[0, 30] = float(frame_number)
+    return v
+
+
+def unpack_frame_inputs(vec):
+    """Traced: rebuild (cam, RenderParams, TemporalParams,
+    DenoiseParams, frame_number) from the packed vector."""
+    cam = vec[0, 0:12].reshape(4, 3)
+    rp = RenderParams(
+        emit_strength=vec[0, 12],
+        sun_strength=vec[0, 13],
+        sun_size=vec[0, 14],
+        sun_yaw=vec[0, 15],
+        sun_pitch=vec[0, 16],
+        sun_color=(vec[0, 17], vec[0, 18], vec[0, 19]),
+        sky_color=(vec[0, 20], vec[0, 21], vec[0, 22]),
+        specularity=vec[0, 23],
+    )
+    tp = TemporalParams(
+        sample_blending=vec[0, 24],
+        maximum_blending=vec[0, 25],
+        blending_distance_cutoff=vec[0, 26],
+    )
+    dp = DenoiseParams(
+        sigma_distance=vec[0, 27],
+        sigma_range=vec[0, 28],
+        albedo_factor=vec[0, 29],
+    )
+    frame_number = vec[0, 30].astype("int32")
+    return cam, rp, tp, dp, frame_number
+
+
 # Note on the reference's PointLight uniform (src/context.rs:527-534):
 # it is only consumed by the legacy Whitted-style fragment shader
 # (shaders/basic.frag), which no pipeline ever dispatches — the loaded

@@ -486,6 +486,33 @@ render_frame = partial(
 )(render_frame_impl)
 
 
+def _render_frame_packed_impl(
+    state, scene_arrays, packed, noise_buffer, **static_kw
+):
+    """Same frame function, but every dynamic scalar input rides in
+    ONE packed (1, 32) vector — a single host->device transfer per
+    frame instead of ~6 small copies (each profiled at 0.2-0.6 ms
+    through the remote-tunnel dispatch path; see params.py)."""
+    from .params import unpack_frame_inputs
+
+    cam, rp, tp, dp, frame_number = unpack_frame_inputs(packed)
+    return render_frame_impl(
+        state, scene_arrays, cam, rp, tp, dp, noise_buffer,
+        frame_number, **static_kw,
+    )
+
+
+render_frame_packed = partial(
+    jax.jit,
+    static_argnames=(
+        "scene_meta", "height", "width", "radius", "reproject",
+        "trace_impl", "resample", "lean", "shard_mesh", "shard_axis",
+        "trace_knobs",
+    ),
+    donate_argnames=("state",),
+)(_render_frame_packed_impl)
+
+
 @dataclasses.dataclass
 class Renderer:
     """Host-side frame driver: owns device scene + state, advances frames.
@@ -645,15 +672,16 @@ class Renderer:
         self.frame_number += 1
         self.still_sample += 1
 
-        self.state, outputs = render_frame(
+        from .params import pack_frame_inputs
+
+        self.state, outputs = render_frame_packed(
             self.state,
             self._scene_arrays,
-            jnp.asarray(cam),
-            self.render_params,
-            self.temporal_params,
-            self.denoise_params,
+            pack_frame_inputs(
+                cam, self.render_params, self.temporal_params,
+                self.denoise_params, self.frame_number,
+            ),
             self._noise,
-            jnp.int32(self.frame_number),
             scene_meta=self._scene_meta,
             height=self.height,
             width=self.width,
