@@ -115,10 +115,12 @@ def test_fast_rotation_falls_back_to_any_offset_resampler(monkeypatch):
     def run(force_pallas):
         if force_pallas:
             # disable the fallback: pretend the window is infinite
-            monkeypatch.setattr(pl_mod, "_PRED_MARGIN_Y", 1e9)
+            monkeypatch.setattr(pl_mod, "_PRED_MARGIN_Y_NEG", 1e9)
+            monkeypatch.setattr(pl_mod, "_PRED_MARGIN_Y_POS", 1e9)
             monkeypatch.setattr(pl_mod, "_PRED_MARGIN_X", 1e9)
         else:
-            monkeypatch.setattr(pl_mod, "_PRED_MARGIN_Y", 18)
+            monkeypatch.setattr(pl_mod, "_PRED_MARGIN_Y_NEG", 18)
+            monkeypatch.setattr(pl_mod, "_PRED_MARGIN_Y_POS", 32)
             monkeypatch.setattr(pl_mod, "_PRED_MARGIN_X", 100)
         # the distance-cutoff scales with pixel footprint: at this tiny
         # test resolution the default 1e-2 rejects most reprojections

@@ -92,16 +92,23 @@ def main(argv=None):
         )
         renderers.append((name, r))
 
-    def cams_for(burst):
+    def cams_for():
         if path_name == "static":
             return [path(0.0)] * args.frames
-        # restart the path each burst so every burst traces the same
-        # work; offset frame 0 so the moving-camera jit variant is hot
+        # the same path restart every burst, so every burst traces
+        # the same work
         return [path((i + 1) / 30.0) for i in range(args.frames)]
 
-    # compile + warm every config before any timing
+    # Warm every config over the FULL burst sequence before any
+    # timing: a mid-sequence jit variant (e.g. the predictor's
+    # any-offset resample fallback on a fast dolly frame) would
+    # otherwise compile inside a timed round — the exact contamination
+    # this tool exists to avoid (first executions of a fresh compile
+    # run 10-200 s through the service).
     for name, r in renderers:
-        for cam in cams_for(0)[:2]:
+        if full:
+            r.reset_accumulation()
+        for cam in cams_for():
             out = r.render(cam)
         _sync(out)
         print(f"# warmed {name}: knobs={r.trace_knobs}", flush=True)
@@ -111,7 +118,7 @@ def main(argv=None):
         for name, r in renderers:
             if full:
                 r.reset_accumulation()
-            cams = cams_for(rnd)
+            cams = cams_for()
             out = r.render(cams[0])
             _sync(out)  # drain queued work before the timer
             t0 = time.perf_counter()

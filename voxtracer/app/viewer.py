@@ -266,8 +266,8 @@ def run_viewer(args) -> int:
             # serializes the dispatch pipeline — see app/web._loop)
             try:
                 out["image"].copy_to_host_async()
-            except Exception:
-                pass
+            except (AttributeError, NotImplementedError, TypeError):
+                pass  # backend without async copy
             if pending is None:
                 pending = out["image"]
                 continue

@@ -230,8 +230,8 @@ class WebViewer:
                 out = self.renderer.render(cam)
                 try:
                     out["image"].copy_to_host_async()
-                except Exception:
-                    pass
+                except (AttributeError, NotImplementedError, TypeError):
+                    pass  # backend without async copy
                 if pending is not None:
                     self._publish(np.asarray(pending))
                 pending = out["image"]

@@ -83,8 +83,10 @@ DENOISE_RADIUS_DEFAULT = 0  # src/context.rs:316-325
 #
 # Layout: 0-11 cam rows (origin, right, up, forward(pixel-scaled)) |
 # 12-23 RenderParams (field order below) | 24-26 TemporalParams |
-# 27-29 DenoiseParams | 30 frame_number (f32-exact below 2**24) |
-# 31 pad.
+# 27-29 DenoiseParams | 30 frame_number (int32 BITS carried in the
+# f32 lane via bitcast — a value cast would silently collapse
+# consecutive frame numbers past 2**24, ~2 days of a live viewer,
+# repeating noise planes) | 31 pad.
 PACKED_LEN = 32
 
 
@@ -108,7 +110,7 @@ def pack_frame_inputs(cam, rp, tp, dp, frame_number):
     v[0, 27] = dp.sigma_distance
     v[0, 28] = dp.sigma_range
     v[0, 29] = dp.albedo_factor
-    v[0, 30] = float(frame_number)
+    v.view(np.int32)[0, 30] = int(frame_number)
     return v
 
 
@@ -136,7 +138,9 @@ def unpack_frame_inputs(vec):
         sigma_range=vec[0, 28],
         albedo_factor=vec[0, 29],
     )
-    frame_number = vec[0, 30].astype("int32")
+    frame_number = jax.lax.bitcast_convert_type(
+        vec[0, 30], jax.numpy.int32
+    )
     return cam, rp, tp, dp, frame_number
 
 

@@ -48,15 +48,18 @@ from .camera import Camera
 from .params import DenoiseParams, RenderParams, TemporalParams
 
 
-def _history_stack(state):
-    """(5, H, W) history stack the fused temporal kernel consumes."""
+def _history_stack(accum_color, accum_blend, old_depth):
+    """(5, H, W) history stack the fused temporal kernel consumes —
+    the ONE place its channel order (r, g, b, blend, depth) lives;
+    both the single-device and the per-slab sharded paths build it
+    here."""
     return jnp.stack(
         [
-            state["accum_color"][..., 0],
-            state["accum_color"][..., 1],
-            state["accum_color"][..., 2],
-            state["accum_blend"],
-            state["old_depth"],
+            accum_color[..., 0],
+            accum_color[..., 1],
+            accum_color[..., 2],
+            accum_blend,
+            old_depth,
         ]
     )
 
@@ -71,13 +74,20 @@ def _edge_rows(x, n, axis_name, n_dev, side):
     if n == 0:
         return x[:, :0]
     slab = x.shape[1]
+    if side == "bot":
+        perm = [(i, i - 1) for i in range(1, n_dev)]
+    else:
+        perm = [(i, i + 1) for i in range(n_dev - 1)]
+    if n <= slab:
+        # common case: ship ONLY the n edge rows the neighbor needs
+        # (permuting the whole slab and slicing after multiplied the
+        # pipeline's only steady-state ICI traffic by slab/n)
+        payload = x[:, :n] if side == "bot" else x[:, -n:]
+        return jax.lax.ppermute(payload, axis_name, perm)
+    # halo taller than a slab: relay whole slabs hop by hop
     parts = []
     cur = x
     for _ in range(-(-n // slab)):
-        if side == "bot":
-            perm = [(i, i - 1) for i in range(1, n_dev)]
-        else:
-            perm = [(i, i + 1) for i in range(n_dev - 1)]
         cur = jax.lax.ppermute(cur, axis_name, perm)
         parts.append(cur)
     if side == "bot":
@@ -169,6 +179,18 @@ def render_frame_impl(
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
+        if reproject and resample != "pallas":
+            # The any-offset XLA resampler reads arbitrary history
+            # rows — a gather across ALL slabs, which the slab-local
+            # halo scheme cannot serve.  Refuse loudly rather than
+            # silently rendering with the fused window (which would
+            # restart accumulation on whip pans, the exact behavior
+            # the fallback exists to prevent on a single chip).
+            raise NotImplementedError(
+                "resample='xla' (the fast-motion any-offset fallback)"
+                " is not supported under a device mesh; history"
+                " resampling there is slab-local with fixed row halos"
+            )
         n_dev = shard_mesh.devices.size
         slab = height // n_dev
 
@@ -190,12 +212,7 @@ def render_frame_impl(
             cam_t = tuple(cam_arr[i] for i in range(4))
             old_t = tuple(old_cam_arr[i] for i in range(4))
             if reproject:
-                hist = jnp.stack(
-                    [
-                        acc_color[..., 0], acc_color[..., 1],
-                        acc_color[..., 2], acc_blend, old_depth,
-                    ]
-                )
+                hist = _history_stack(acc_color, acc_blend, old_depth)
                 ht = temporal_pallas.HALO_TOP
                 hb = temporal_pallas.HALO_BOT
                 hist_ext = jnp.concatenate(
@@ -321,7 +338,10 @@ def render_frame_impl(
                 gbuf["color"],
                 gbuf["normal"],
                 gbuf["depth"],
-                _history_stack(state),
+                _history_stack(
+                    state["accum_color"], state["accum_blend"],
+                    state["old_depth"],
+                ),
                 cam_tuple,
                 old_cam_tuple,
                 temporal_params,
@@ -414,7 +434,13 @@ def render_frame_impl(
 # a few pixels for one frame (the pre-fallback behavior), an over-read
 # pays the ~10x slower any-offset resampler for the whole frame — so
 # the margins sit close to the true window.
-_PRED_MARGIN_Y = 20
+# The served y window is ASYMMETRIC: [-MARGIN, WY_MAX-MARGIN] =
+# [-24, +38] (temporal_pallas), so the down-motion margin is larger —
+# a symmetric 20 needlessly pinned the ~10x slower any-offset
+# resampler on for downward pans at +25..+38 px that the fused
+# kernel serves fine.
+_PRED_MARGIN_Y_NEG = 20   # offsets below -20 px -> fallback
+_PRED_MARGIN_Y_POS = 34   # offsets above +34 px -> fallback
 _PRED_MARGIN_X = 110
 # Cadence of depth-probe refreshes for the predictor (frames).
 _PROBE_EVERY = 4
@@ -434,8 +460,10 @@ def predict_max_offset(cam, old_cam, depth_probe, height, width):
     Evaluates the ``temporal.comp:75-85`` reprojection at the previous
     frame's strided depth probe — each sample at its OWN depth (pure
     numpy, ~20 us).  Camera motion is continuous, so the previous
-    depths predict the current ones to a frame's motion.  Returns
-    ``(max |dy|, max |dx|)`` over valid reprojections in pixels.
+    depths predict the current ones to a frame's motion.  Returns the
+    SIGNED offset extremes ``(dy_min, dy_max, dx_max)`` over valid
+    reprojections in pixels — signed in y because the fused kernel's
+    serve window is asymmetric.
     """
     origin, right, up, fwd = (np.asarray(v, np.float64) for v in cam)
     oo, orr, ou, of = (np.asarray(v, np.float64) for v in old_cam)
@@ -452,7 +480,7 @@ def predict_max_offset(cam, old_cam, depth_probe, height, width):
     py = np.broadcast_to(py, d.shape)
     ok = d >= 0.0
     if not ok.any():  # no hits last frame: nothing to resample
-        return 0.0, 0.0
+        return 0.0, 0.0, 0.0
     ray = px[..., None] * right - py[..., None] * up + fwd
     ray /= np.linalg.norm(ray, axis=-1, keepdims=True)
     inv = np.linalg.inv(np.stack([orr, ou, of], axis=1))
@@ -469,10 +497,10 @@ def predict_max_offset(cam, old_cam, depth_probe, height, width):
         (px_f >= 0) & (px_f <= width) & (py_f >= 0) & (py_f <= height)
     )
     if not ok.any():
-        return 0.0, 0.0
-    dy_max = float(np.abs(py_f - py)[ok].max())
+        return 0.0, 0.0, 0.0
+    dy = (py_f - py)[ok]
     dx_max = float(np.abs(px_f - px)[ok].max())
-    return dy_max, dx_max
+    return float(dy.min()), float(dy.max()), dx_max
 
 
 render_frame = partial(
@@ -648,7 +676,11 @@ class Renderer:
             ready = True
             try:
                 ready = bool(self._probe_pending.is_ready())
-            except Exception:
+            except (AttributeError, NotImplementedError, TypeError):
+                # backend without is_ready: treat as landed.  Only
+                # API-absence errors are swallowed — a blanket except
+                # here could silently turn the non-blocking pipeline
+                # into a per-frame blocking fetch (+20 ms/frame).
                 pass
             if ready:
                 self._probe_host = np.asarray(self._probe_pending)
@@ -661,11 +693,15 @@ class Renderer:
             and self.trace_impl.startswith("pallas")
             and self._probe_host is not None
         ):
-            dy, dx = predict_max_offset(
+            dy_min, dy_max, dx = predict_max_offset(
                 tuple(cam), tuple(prev_cam), self._probe_host,
                 self.height, self.width,
             )
-            if dy > _PRED_MARGIN_Y or dx > _PRED_MARGIN_X:
+            if (
+                dy_min < -_PRED_MARGIN_Y_NEG
+                or dy_max > _PRED_MARGIN_Y_POS
+                or dx > _PRED_MARGIN_X
+            ):
                 resample = "xla"
         self.last_resample = resample
 
@@ -706,6 +742,6 @@ class Renderer:
             self._probe_pending = outputs["depth_probe"]
             try:
                 self._probe_pending.copy_to_host_async()
-            except Exception:
+            except (AttributeError, NotImplementedError, TypeError):
                 pass  # backend without async copy: is_ready-gated fetch
         return outputs

@@ -350,14 +350,12 @@ def pack_temporal_params(
     """(1, 48) f32 SMEM row for the fused kernel — all traced."""
     origin, right, up, fwd = cam
     o_origin, o_right, o_up, o_fwd = old_cam
+    from .temporal import _inv3
+
     basis = jnp.stack([o_right, o_up, o_fwd], axis=1)
-    # closed-form adjugate inverse (temporal._inv3)
-    a, b, c = basis[:, 0], basis[:, 1], basis[:, 2]
-    r0 = jnp.cross(b, c)
-    r1 = jnp.cross(c, a)
-    r2 = jnp.cross(a, b)
-    det = jnp.dot(a, r0)
-    inv = jnp.stack([r0, r1, r2], axis=0) / det
+    # the ONE adjugate-inverse implementation — fused-vs-XLA parity
+    # depends on both paths inverting bit-identically
+    inv = _inv3(basis)
     vec = jnp.concatenate(
         [
             origin.reshape(3), right.reshape(3), up.reshape(3),

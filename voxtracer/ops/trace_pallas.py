@@ -1070,9 +1070,14 @@ def _make_traverse(
         # Outer backstop: with the per-ray fuse guaranteeing
         # termination, this only guards against a logic bug — set it
         # past the worst case (every queued ray fusing) so it can
-        # never starve a ray of its per-ray budget.
+        # never starve a ray of its per-ray budget.  Clamped into
+        # int32 range: a huge VOX_RAY_CAP probe value times the queue
+        # depth would otherwise overflow (OverflowError on NumPy 2,
+        # a silently-black all-fused frame on NumPy 1).
         outer_cap = np.int32(
-            N * max_ray_steps + N * qswap if fuse_on else 4096
+            min(N * max_ray_steps + N * qswap, 2**31 - 1)
+            if fuse_on
+            else 4096
         )
 
         # state layout: it | counters(3) | qidx | steps | ray(9) |
