@@ -68,6 +68,15 @@ def load_scene(name: str) -> GridScene:
     return GridScene.from_voxels(voxels_from_vox(voxio.load(path)))
 
 
+def load_voxels(name: str):
+    """The raw voxel list for a scene name (the legacy Whitted renderer
+    consumes the pointer octree, not the dense grid)."""
+    if name == "default":
+        return default_scene()
+    path = name if os.path.exists(name) else os.path.join(ASSET_DIR, name + ".vox")
+    return voxels_from_vox(voxio.load(path))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="voxtracer", description=__doc__,
@@ -135,6 +144,13 @@ def build_parser() -> argparse.ArgumentParser:
                       help="write a resumable snapshot (.npz) at the end")
     io_g.add_argument("--resume", default=None,
                       help="resume accumulation from a snapshot")
+    io_g.add_argument("--legacy-whitted", action="store_true",
+                      help="render one still with the legacy sorted-octant "
+                           "Whitted raytracer (reference shaders/basic.frag) "
+                           "instead of the path tracer")
+    io_g.add_argument("--light", default="0.4,-0.4,0.02,0.05",
+                      help="point light x,y,z,brightness for --legacy-whitted "
+                           "(reference src/context.rs:944-947 defaults)")
     io_g.add_argument("--watch-kernels", action="store_true",
                       help="hot-reload kernel modules on source change")
     io_g.add_argument("--stats", action="store_true",
@@ -188,6 +204,44 @@ def main(argv=None) -> int:
         scene.values.shape,
         100 * (scene.values != 0).mean(),
     )
+
+    if args.legacy_whitted:
+        # The legacy renderer is a per-ray pointer-chasing stack machine —
+        # the exact access pattern the dense-grid path tracer replaced for
+        # TPU (scene/grid.py docstring).  It exists for reference parity
+        # and octree debugging; pin it to host CPU so a large batched
+        # pointer-chase never monopolizes (or, on the experimental axon
+        # service, crashes) the accelerator.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from ..ops.whitted import render_scene as render_whitted_scene
+
+        if args.camera_pos is not None:
+            direction = (
+                _parse_vec(args.camera_dir) if args.camera_dir else (0, 0, 1)
+            )
+            camera = Camera(
+                position=np.array(_parse_vec(args.camera_pos)),
+                direction=np.array(direction),
+                fov=np.radians(args.fov),
+            )
+        else:
+            camera = camera_paths.PATHS[args.path](scene)(0.0)
+        *light_pos, light_brightness = _parse_vec(args.light)
+        t0 = time.perf_counter()
+        img = np.asarray(
+            render_whitted_scene(
+                load_voxels(args.scene), camera, width, height,
+                light_pos=tuple(light_pos), light_brightness=light_brightness,
+            )
+        )
+        write_png(args.output, np.clip(img * 255.0, 0, 255).astype(np.uint8))
+        print(
+            f"legacy whitted still at {width}x{height} in "
+            f"{time.perf_counter() - t0:.2f}s -> {args.output}"
+        )
+        return 0
 
     noise_buffer = None
     if args.noise == "blue":
