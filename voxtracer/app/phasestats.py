@@ -63,7 +63,7 @@ def phase_stats(scene, cam, h, w, knobs=None, interpret=False):
         interpret=interpret,
         knobs=knobs,
     )
-    dbg = np.asarray(out["debug_iters"])  # (programs, 30)
+    dbg = np.asarray(out["debug_iters"])  # (programs, >=30)
     lanes = knobs.tile_h * trace_pallas.TILE_W
     rows = []
     for k, name in enumerate(PHASES):
@@ -73,17 +73,27 @@ def phase_stats(scene, cam, h, w, knobs=None, interpret=False):
         fine = dbg[:, 6 * 3 + k]
         live = dbg[:, 6 * 4 + k]
         tot_steps = float(steps.sum())
-        rows.append(
-            dict(
-                phase=name,
-                steps=tot_steps,
-                steps_max=float(steps.max()),
-                meta_serves=float(meta.sum()),
-                brick_serves=float(brick.sum()),
-                fine_serves=float(fine.sum()),
-                util=float(live.sum()) / max(1.0, tot_steps * lanes),
-            )
+        row = dict(
+            phase=name,
+            steps=tot_steps,
+            steps_max=float(steps.max()),
+            meta_serves=float(meta.sum()),
+            brick_serves=float(brick.sum()),
+            fine_serves=float(fine.sum()),
+            util=float(live.sum()) / max(1.0, tot_steps * lanes),
         )
+        if knobs.decay_stats:
+            # live-decay quantile crossings (counters c=5..9): mean
+            # over programs of trips with >= f lanes live, as a
+            # fraction of that program's total trips — the capped-
+            # phase design curve (how early could the while stop)
+            t = np.maximum(steps.astype(np.float64), 1.0)
+            for j, frac in enumerate(("t75", "t50", "t25", "t12",
+                                      "t03")):
+                row[frac] = float(
+                    np.mean(dbg[:, 6 * (5 + j) + k] / t)
+                )
+        rows.append(row)
     return rows
 
 
@@ -95,6 +105,9 @@ def main(argv=None):
     p.add_argument("--dir", default=None, help="camera direction x,y,z")
     p.add_argument("--cfg", default=None,
                    help="knob overrides k=v,k=v (TraceKnobs fields)")
+    p.add_argument("--decay", action="store_true",
+                   help="bank + print live-decay quantiles "
+                        "(sets knobs.decay_stats)")
     p.add_argument("--interpret", action="store_true")
     args = p.parse_args(argv)
 
@@ -113,16 +126,21 @@ def main(argv=None):
     if args.cfg:
         _, kw = parse_cfg(":" + args.cfg)
         knobs = knobs.replace(**kw)
+    if args.decay:
+        knobs = knobs.replace(decay_stats=1)
 
     rows = phase_stats(scene, cam, h, w, knobs=knobs,
                        interpret=args.interpret)
     print(f"# {args.scene} {w}x{h} knobs={knobs}")
+    qcols = ("t75", "t50", "t25", "t12", "t03") if args.decay else ()
     print(f"{'phase':>6} {'steps':>12} {'max/prog':>9} {'meta':>10} "
-          f"{'brick':>10} {'fine':>8} {'util':>6}")
+          f"{'brick':>10} {'fine':>8} {'util':>6}"
+          + "".join(f" {c:>6}" for c in qcols))
     for r in rows:
         print(f"{r['phase']:>6} {r['steps']:12.0f} {r['steps_max']:9.0f} "
               f"{r['meta_serves']:10.0f} {r['brick_serves']:10.0f} "
-              f"{r['fine_serves']:8.0f} {r['util']:6.1%}")
+              f"{r['fine_serves']:8.0f} {r['util']:6.1%}"
+              + "".join(f" {r[c]:6.1%}" for c in qcols))
     return 0
 
 

@@ -185,6 +185,32 @@ class TraceKnobs:
     q_rows: int = Q_ROWS
     merge_shadow: bool = MERGE_SHADOW
     scramble: int = SCRAMBLE
+    # Diagnostics-only (default off — adds per-trip scalar work):
+    # bank per-phase live-decay quantiles (trips until the live-lane
+    # count drops below 3/4, 1/2, 1/4, 1/8, 1/32 of lanes) as extra
+    # debug counters c=5..9.  Read via app/phasestats --decay; the
+    # measured basis for capped-phase / residual-retrace decisions.
+    decay_stats: int = 0
+    # PROBE-ONLY phase caps (default 0 = exact): stop a divergent
+    # phase's while loop once fewer than this many lanes are live —
+    # *_b for bounce>=1 marches, *_s for bounce>=1 shadow phases.
+    # Pending rays resolve as miss/unobstructed, so the image is WRONG
+    # under a floor; the knobs exist to measure the gross ceiling of a
+    # capped-phase + residual-retrace scheme before building its exact
+    # spill path (VERDICT round-2 #4).
+    live_floor_b: int = 0
+    live_floor_s: int = 0
+    # Dead-entry jump chains in the lane queue (exact; see
+    # traverse_qn): 0 is the pre-jump +1 drain, kept as the A/B
+    # control.
+    qjump: int = 1
+    # Unrolled pre-while swap calls (-1 = the full N-1 chain).  With
+    # qjump, ONE swap reaches every lane's first mask-live entry, so
+    # a short chain (probe 2-3) only leaves consecutive slab-miss
+    # entries to drain in-loop; a pending-entry guard in the while
+    # cond keeps that exact (no lane can strand queued live rays
+    # behind an inactive loaded entry).
+    init_swaps: int = -1
 
     def replace(self, **kw) -> "TraceKnobs":
         return dataclasses.replace(self, **kw)
@@ -564,6 +590,9 @@ def _make_traverse(
         qswap = knobs.qswap
     if max_ray_steps is None:
         max_ray_steps = MAX_RAY_STEPS
+    decay_stats = bool(knobs.decay_stats)
+    # live-decay quantile thresholds (fractions of lanes still live)
+    DECAY_FRACS = (0.75, 0.5, 0.25, 0.125, 0.03125)
     # <=0 disables the per-ray fuse (perf A/B probe): the queue falls
     # back to the shared 4096-step backstop only
     fuse_on = max_ray_steps > 0
@@ -911,7 +940,8 @@ def _make_traverse(
         return res[0] + (counters,)
 
     def traverse_qn(
-        table_ref, meta_ref, brick_ref, rays, fine_dma=None
+        table_ref, meta_ref, brick_ref, rays, fine_dma=None,
+        live_floor=0,
     ):
         """N rays per lane, traced SEQUENTIALLY in one while loop.
 
@@ -1008,6 +1038,25 @@ def _make_traverse(
             )
             return trav, recs
 
+        # Dead-entry jump chains: a lane's next queue position is the
+        # next entry whose MASK is live, not qidx+1 — masked-off
+        # entries (no shadow ray at this pixel / path already ended)
+        # cost ZERO trips instead of one body each on the critical
+        # lane.  Entry liveness is static over the whole traverse, so
+        # the jump is a pure function of qidx; skipped entries keep
+        # their zero banked records and read back as masked-out in
+        # ``finish`` exactly as a drained dead entry would.
+        qjump = bool(knobs.qjump) and N > 2
+        lv = [rw[6] == 1 for rw in raw] if qjump else None
+
+        def next_live(qidx):
+            """Smallest live entry index > qidx (N-1 if none) via a
+            descending static select chain — one plane, N-1 selects."""
+            qn = jnp.full_like(qidx, N - 1)
+            for r in range(N - 1, 0, -1):
+                qn = jnp.where((qidx < r) & lv[r], np.int32(r), qn)
+            return qn
+
         def swap(qidx, steps, ray, trav, recs, saved):
             """Lanes whose current ray just finished: bank its records
             and load the next ray's init state."""
@@ -1023,11 +1072,12 @@ def _make_traverse(
                     saved[3 * r + i] = jnp.where(
                         m, packed[i], saved[3 * r + i]
                     )
+            qn = next_live(qidx) if qjump else None
             # per-lane next ray's RAW planes (o3, d3, mask) via the
             # qidx chain, then ONE vectorized ray_setup for the batch
             nraw = raw[1]
             for r in range(2, N):
-                m = qidx == r - 1
+                m = (qn == r) if qjump else (qidx == r - 1)
                 nraw = tuple(
                     jnp.where(m, b, c) for b, c in zip(raw[r], nraw)
                 )
@@ -1046,20 +1096,37 @@ def _make_traverse(
                 jnp.where(done, z, c) for z, c in zip(rec_zero, recs)
             )
             steps = jnp.where(done, 0, steps)
-            qidx = qidx + done.astype(jnp.int32)
+            if qjump:
+                qidx = jnp.where(done, qn, qidx)
+            else:
+                qidx = qidx + done.astype(jnp.int32)
             return qidx, steps, ray, trav, recs, tuple(saved)
 
-        # lanes with dead leading rays start further down the queue
+        # lanes with dead leading rays start further down the queue;
+        # with qjump a short chain suffices (one swap clears any run
+        # of mask-dead entries), leaving only consecutive slab-miss
+        # entries to drain in-loop under the pending-entry guard
+        n_init = N - 1
+        if qjump and knobs.init_swaps >= 0:
+            n_init = min(N - 1, knobs.init_swaps)
         ray0 = setup0[0]
         trav0 = (setup0[5],) + tuple(setup0[1:5])
         qidx0 = zero_i
         steps0 = zero_i
         recs0 = rec_zero
         saved0 = tuple([zero_i, zero_i, zero_f] * (N - 1))
-        for _ in range(N - 1):
+        for _ in range(n_init):
             qidx0, steps0, ray0, trav0, recs0, saved0 = swap(
                 qidx0, steps0, ray0, trav0, recs0, saved0
             )
+        # guard needed only when the init chain may stop short of a
+        # live entry: keep the while alive for lanes whose LOADED
+        # entry is inactive but whose queue still holds live entries
+        pending_guard = n_init < N - 1
+        if pending_guard:
+            last_live = zero_i - 1
+            for r in range(N):
+                last_live = jnp.where(lv[r], np.int32(r), last_live)
         mst0 = (
             (zero_i - 1, zero_i)
             if brick_dedup
@@ -1081,15 +1148,31 @@ def _make_traverse(
         )
 
         # state layout: it | counters(3) | qidx | steps | ray(9) |
-        #               trav(5) | mst(M) | recs(7) | saved(3*(N-1))
+        #               trav(5) | mst(M) | recs(7) | saved(3*(N-1)) |
+        #               [decay quantile counters (5), knob-gated]
         TRAV0 = 15
         MST0 = TRAV0 + 5
         REC0 = MST0 + M
         SAV0 = REC0 + 7
+        DQ0 = SAV0 + 3 * (N - 1)
+        n_lanes = int(np.prod(setup0[5].shape))
+        decay_thresh = tuple(
+            np.int32(max(1, int(np.ceil(f * n_lanes))))
+            for f in DECAY_FRACS
+        )
 
         def cond(s):
+            if live_floor > 0:
+                # probe cap: live >= floor also implies liveness
+                return jnp.logical_and(
+                    s[0] < outer_cap,
+                    jnp.sum(s[TRAV0]) >= np.int32(live_floor),
+                )
+            live = s[TRAV0]
+            if pending_guard:
+                live = live + (s[4] < last_live).astype(jnp.int32)
             return jnp.logical_and(
-                s[0] < outer_cap, jnp.max(s[TRAV0]) > 0
+                s[0] < outer_cap, jnp.max(live) > 0
             )
 
         def body(s):
@@ -1101,7 +1184,7 @@ def _make_traverse(
             trav = s[TRAV0:MST0]
             mst = s[MST0:REC0]
             recs = s[REC0:SAV0]
-            saved = s[SAV0 : SAV0 + 3 * (N - 1)]
+            saved = s[SAV0:DQ0]
             # qswap march steps per swap: the while cond only ever
             # observes post-swap state, so queue-pending lanes can
             # never be mistaken for done
@@ -1119,15 +1202,29 @@ def _make_traverse(
             qidx, steps, ray, trav, recs, saved = swap(
                 qidx, steps, ray, trav, recs, saved
             )
+            tq = s[DQ0:]
+            if decay_stats:
+                # trips while the live count still clears each
+                # threshold = the decay curve's quantile crossings
+                # (live is monotone nonincreasing: a lane never
+                # revives once its queue drains)
+                live = jnp.sum(trav[0])
+                tq = tuple(
+                    t + np.int32(qswap) * (live >= th).astype(
+                        jnp.int32
+                    )
+                    for t, th in zip(tq, decay_thresh)
+                )
             return (
                 (it + qswap, nserv, nact, nlive, qidx, steps)
-                + ray + trav + mst + recs + saved
+                + ray + trav + mst + recs + saved + tq
             )
 
+        tq0 = (np.int32(0),) * 5 if decay_stats else ()
         state = (
             (np.int32(0), np.int32(0), np.int32(0), np.int32(0),
              qidx0, steps0)
-            + ray0 + trav0 + mst0 + recs0 + saved0
+            + ray0 + trav0 + mst0 + recs0 + saved0 + tq0
         )
         out = jax.lax.while_loop(cond, body, state)
         n_iters, n_serves, n_act = out[0], out[1], out[2]
@@ -1135,7 +1232,7 @@ def _make_traverse(
         active = out[TRAV0]
         cur = tuple(out[TRAV0 + 1 : TRAV0 + 5])  # cx, cy, cz, t
         recs = out[REC0:SAV0]
-        saved = out[SAV0 : SAV0 + 3 * (N - 1)]
+        saved = out[SAV0:DQ0]
 
         results = []
         n_fine = np.int32(0)
@@ -1158,7 +1255,9 @@ def _make_traverse(
             )
             n_fine = n_fine + nf
             results.append((hit, t, slot, fused, nrm))
-        counters = (n_iters, n_serves, n_act, n_fine, n_live)
+        counters = (
+            (n_iters, n_serves, n_act, n_fine, n_live) + out[DQ0:]
+        )
         return results, counters
 
     return traverse, traverse_qn
@@ -1583,6 +1682,9 @@ def _make_kernel(
                     table_ref, meta_ref, brick_ref,
                     scram_rays(brays, sc_b),
                     fine_dma=fine_dma,
+                    live_floor=(
+                        knobs.live_floor_b if bounce >= 1 else 0
+                    ),
                 )
                 results = unscram_results(results, sc_b)
                 iter_counts.append(it_b)
@@ -1594,6 +1696,9 @@ def _make_kernel(
                     table_ref, meta_ref, brick_ref,
                     scram_rays([g["s_ray"] for g in G], sc_s),
                     fine_dma=fine_dma,
+                    live_floor=(
+                        knobs.live_floor_s if bounce >= 1 else 0
+                    ),
                 )
                 sresults = unscram_results(sresults, sc_s)
                 iter_counts.append(it_s)
@@ -1635,7 +1740,9 @@ def _make_kernel(
         # per-phase counters at lane (0, 6*c + k) of the group-0 block:
         # phase k = [b0, s0, b1, s1, b2, s2] pairs, counter c: 0 outer
         # iters, 1 meta rounds, 2 brick rounds, 3 fine-resolve rounds,
-        # 4 live-lane integral (each counts BOTH pixel groups' rays)
+        # 4 live-lane integral (each counts BOTH pixel groups' rays);
+        # with knobs.decay_stats, c = 5..9 are the live-decay quantile
+        # crossings (trips with >= 3/4, 1/2, 1/4, 1/8, 1/32 lanes live)
         dbg = zf
         for k, counters in enumerate(iter_counts):
             for c, ctr in enumerate(counters):
@@ -1832,8 +1939,11 @@ def render_sample(
         # per-program counters at lane (0, 6*c + k) of the group-0
         # half-block, phase k = paired [b0, s0, b1, s1, b2, s2],
         # counter c: 0 outer iters, 1 meta serve rounds, 2 brick serve
-        # rounds, 3 fine-resolve serve rounds, 4 live-lane integral
+        # rounds, 3 fine-resolve serve rounds, 4 live-lane integral,
+        # 5-9 live-decay quantile crossings (knobs.decay_stats only)
         "debug_iters": dbg[:: q_rows * tile_h, :].reshape(
             nby // q_rows, nbx // q, q * TILE_W
-        )[..., :30].reshape((nby // q_rows) * (nbx // q), 30),
+        )[..., : (60 if knobs.decay_stats else 30)].reshape(
+            (nby // q_rows) * (nbx // q), -1
+        ),
     }
