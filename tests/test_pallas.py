@@ -322,3 +322,41 @@ def test_pallas_sparse_scene_distance_field_jumps():
         direction=np.array([-0.05, -0.1, 1.0]),
     )
     _compare(scene, cam, seed=3)
+
+
+def test_pallas_qjump_short_init_chain_outside_camera():
+    """Dead-entry jump chains + a short init chain must not strand
+    queued live rays: with the camera far outside the scene AABB, a
+    lane's leading queue entries can all be slab-misses (setup-dead
+    while mask-live), so the pending-entry guard in the while cond is
+    what keeps later live entries traced.  init_swaps=0 is the
+    worst case (no pre-while advance at all); the image must still
+    match the oracle exactly like the default chain does."""
+    rng = np.random.default_rng(5)
+    n = 40
+    pos = np.stack(
+        [
+            rng.integers(-20, 21, n),
+            rng.integers(-20, 21, n),
+            rng.integers(-20, 21, n),
+        ],
+        axis=1,
+    ).astype(np.int16)
+    mrgb = np.concatenate(
+        [
+            np.zeros((n, 1), np.uint8),
+            rng.integers(30, 255, (n, 3)).astype(np.uint8),
+        ],
+        axis=1,
+    )
+    scene = GridScene.from_voxels(VoxelList(pos=pos, mrgb=mrgb))
+    cam = Camera(
+        position=np.array([90.0, 75.0, -80.0]),
+        direction=np.array([-0.55, -0.5, 1.0]),
+    )
+    _compare(
+        scene,
+        cam,
+        seed=3,
+        knobs=trace_pallas.DEFAULT_KNOBS.replace(init_swaps=0),
+    )
