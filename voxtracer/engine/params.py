@@ -114,9 +114,57 @@ def pack_frame_inputs(cam, rp, tp, dp, frame_number):
     return v
 
 
+# -- unified kernel-param rows -----------------------------------------
+#
+# One (KROWS, 128) f32 host array per frame carrying EVERY small
+# per-frame input — the Pallas kernels' SMEM rows AND the packed frame
+# inputs above:
+#   row 0: trace params (ops/trace_pallas.pack_params layout)
+#   row 1: temporal params (ops/temporal_pallas layout, incl. the
+#          host-computed old-basis inverse)
+#   row 2: denoise params (ops/denoise_pallas layout)
+#   row 3: packed frame inputs (layout above; unpack reads vec[-1])
+# The SAME block is fed whole to every pallas_call, so no device-side
+# fusion ever produces a tiny param tensor: profiled at 4K, the traced
+# per-kernel packs were staged through scoped memory as ~10 small
+# copy-start/copy-done pairs costing ~1.5-2 ms/frame of serialized
+# glue (size-independent — proportionally worse at 720p).
+KROWS = 4
+ROW_LEN = 128
+
+
+def pack_kernel_rows(
+    cam, old_cam, rp, tp, dp, frame_number, history_valid, img_height
+):
+    """Host-side: the frame's full (KROWS, 128) kernel-param rows."""
+    import numpy as np
+
+    from ..ops import denoise_pallas, temporal_pallas, trace_pallas
+
+    rows = np.zeros((KROWS, ROW_LEN), np.float32)
+    rows[0, : trace_pallas.PARAMS_LEN] = trace_pallas.pack_params(
+        np.asarray(cam, np.float32), rp
+    )[0]
+    rows[1, : temporal_pallas.PARAMS_LEN] = (
+        temporal_pallas.pack_temporal_row_host(
+            cam, old_cam, tp, history_valid, img_height
+        )
+    )
+    rows[2, : denoise_pallas.DROW_LEN] = (
+        denoise_pallas.pack_denoise_row_host(cam, dp)
+    )
+    rows[3, :PACKED_LEN] = pack_frame_inputs(
+        cam, rp, tp, dp, frame_number
+    )[0]
+    return rows
+
+
 def unpack_frame_inputs(vec):
     """Traced: rebuild (cam, RenderParams, TemporalParams,
-    DenoiseParams, frame_number) from the packed vector."""
+    DenoiseParams, frame_number) from the packed vector — either the
+    legacy (1, PACKED_LEN) vector or the unified kernel-param rows
+    from :func:`pack_kernel_rows` (frame inputs in the LAST row)."""
+    vec = vec[-1:, :]
     cam = vec[0, 0:12].reshape(4, 3)
     rp = RenderParams(
         emit_strength=vec[0, 12],

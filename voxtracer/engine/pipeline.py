@@ -136,6 +136,10 @@ def render_frame_impl(
     #   trace_pallas.pick_knobs(height, width).  The in-process A/B
     #   harness (app/abench.py) and per-scene tuning thread through
     #   here; every knob participates in the jit cache key.
+    kernel_rows=None,  # (KROWS, 128) host-packed kernel-param rows
+    #   (params.pack_kernel_rows); when present the single-device
+    #   Pallas stages take them as their SMEM operand directly instead
+    #   of packing params on device (the packed production path)
 ):
     dims, origin, zw, n_rows, l3_dims, m_rows, b_rows = scene_meta
     use_pallas = trace_impl.startswith("pallas")
@@ -151,7 +155,12 @@ def render_frame_impl(
         # interpreter — how CPU tests exercise the TPU kernel family.
         # "pallas_hbm" keeps the packed fine table HBM-resident (scenes
         # beyond the VMEM budget) and DMAs serve windows on demand.
-        params_vec = trace_pallas.pack_params_traced(cam, render_params)
+        if kernel_rows is not None:
+            params_vec = kernel_rows  # trace fields in row 0
+        else:
+            params_vec = trace_pallas.pack_params_traced(
+                cam, render_params
+            )
         trace_kw = dict(
             dims=dims,
             zw=zw,
@@ -347,6 +356,7 @@ def render_frame_impl(
                 temporal_params,
                 state["history_valid"],
                 interpret=interpret,
+                params_rows=kernel_rows,
             )
         else:
             blended, next_blend = temporal_op.temporal_blend(
@@ -377,6 +387,7 @@ def render_frame_impl(
                 denoise_params,
                 radius=radius,
                 interpret=interpret,
+                params_rows=kernel_rows,
             )
         else:
             out = denoise_op.denoise(
@@ -518,15 +529,24 @@ def _render_frame_packed_impl(
     state, scene_arrays, packed, noise_buffer, **static_kw
 ):
     """Same frame function, but every dynamic scalar input rides in
-    ONE packed (1, 32) vector — a single host->device transfer per
-    frame instead of ~6 small copies (each profiled at 0.2-0.6 ms
-    through the remote-tunnel dispatch path; see params.py)."""
-    from .params import unpack_frame_inputs
+    ONE packed host array per frame instead of ~6 small copies (each
+    profiled at 0.2-0.6 ms through the remote-tunnel dispatch path;
+    see params.py).
+
+    ``packed`` is either the legacy (1, 32) frame-input vector or the
+    full (KROWS, 128) kernel-param rows from ``pack_kernel_rows``; in
+    the latter case the rows feed the Pallas kernels' SMEM operands
+    DIRECTLY, so no device-side fusion ever packs a small param tensor
+    (profiled at 4K: the traced packs were staged through scoped
+    memory as ~10 copy-start/copy-done pairs, ~1.5-2 ms/frame of
+    serialized glue)."""
+    from .params import KROWS, unpack_frame_inputs
 
     cam, rp, tp, dp, frame_number = unpack_frame_inputs(packed)
+    kernel_rows = packed if packed.shape[0] == KROWS else None
     return render_frame_impl(
         state, scene_arrays, cam, rp, tp, dp, noise_buffer,
-        frame_number, **static_kw,
+        frame_number, kernel_rows=kernel_rows, **static_kw,
     )
 
 
@@ -588,6 +608,10 @@ class Renderer:
         self._last_cam: Optional[np.ndarray] = None
         self._probe_pending = None
         self._probe_host = None
+        # host mirror of state["history_valid"] for the packed kernel
+        # rows (False only before the first frame after init/scene
+        # swap; snapshot.load syncs it on resume)
+        self._history_valid = False
         self.last_resample = "pallas"  # observable: last frame's choice
 
     def _upload_scene(self, scene: GridScene):
@@ -645,6 +669,7 @@ class Renderer:
         self.still_sample = 0
         self._probe_pending = None
         self._probe_host = None
+        self._history_valid = False
 
     def render(
         self, camera: Camera, lean: Optional[bool] = None
@@ -708,14 +733,17 @@ class Renderer:
         self.frame_number += 1
         self.still_sample += 1
 
-        from .params import pack_frame_inputs
+        from .params import pack_kernel_rows
 
         self.state, outputs = render_frame_packed(
             self.state,
             self._scene_arrays,
-            pack_frame_inputs(
-                cam, self.render_params, self.temporal_params,
+            pack_kernel_rows(
+                cam,
+                prev_cam if prev_cam is not None else cam,
+                self.render_params, self.temporal_params,
                 self.denoise_params, self.frame_number,
+                self._history_valid, self.height,
             ),
             self._noise,
             scene_meta=self._scene_meta,
@@ -744,4 +772,5 @@ class Renderer:
                 self._probe_pending.copy_to_host_async()
             except (AttributeError, NotImplementedError, TypeError):
                 pass  # backend without async copy: is_ready-gated fetch
+        self._history_valid = True
         return outputs

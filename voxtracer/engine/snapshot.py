@@ -86,4 +86,7 @@ def load(path: str | os.PathLike, renderer: Renderer) -> Camera:
     renderer._last_cam = np.stack(
         [np.asarray(cam.position), right, up, forward]
     ).astype(np.float32)
+    # sync the host mirror the packed kernel rows read (the restored
+    # device state carries the authoritative flag)
+    renderer._history_valid = bool(np.asarray(data["history_valid"]))
     return cam

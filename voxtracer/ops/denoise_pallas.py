@@ -34,6 +34,29 @@ TILE_W = int(_os.environ.get("VOX_DEN_TILE_W", 256))
 # stacked-channel indices
 _CR, _CG, _CB, _NX, _NY, _NZ, _LOGD, _MAT, _AR, _AG, _AB, _VALID = range(12)
 
+# SMEM params ride the frame's unified (KROWS, 128) kernel-param rows
+# (engine/params.pack_kernel_rows); the denoise fields live in row
+# KROW: [origin 0-2 | right 3-5 | up 6-8 | fwd 9-11 | sigma_distance
+# 12 | sigma_range 13 | albedo_factor 14 | row0 15].
+KROWS = 4
+KROW = 2
+ROW_LEN = 128
+DROW_LEN = 16  # used field count within the row
+
+
+def pack_denoise_row_host(cam, params):
+    """Host numpy twin of the traced field pack in
+    :func:`denoise_from_stack` (single-device: ``row0 = 0``)."""
+    import numpy as np
+
+    vec = np.zeros(DROW_LEN, np.float32)
+    vec[0:12] = np.asarray(cam, np.float32).reshape(12)
+    vec[12] = params.sigma_distance
+    vec[13] = params.sigma_range
+    vec[14] = params.albedo_factor
+    vec[15] = 0.0
+    return vec
+
 
 def _make_kernel(radius: int, height: int, width: int):
     # DMA slice shapes must align to the (8, 128) tiling
@@ -55,7 +78,7 @@ def _make_kernel(radius: int, height: int, width: int):
         copy.start()
 
         def P(i):
-            return params_ref[0, i]
+            return params_ref[KROW, i]
 
         shape = (TILE_H, TILE_W)
         fy = jax.lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
@@ -171,13 +194,15 @@ def denoise(
     params,  # DenoiseParams
     radius: int,
     interpret: bool = False,
+    params_rows=None,  # see denoise_from_stack
 ) -> jnp.ndarray:
     if radius == 0:
         factor = params.albedo_factor
         return colors * (1.0 - factor + factor * albedo)
     stack = build_stack(colors, normal, depth, albedo, material)
     return denoise_from_stack(
-        stack, cam, params, radius=radius, interpret=interpret
+        stack, cam, params, radius=radius, interpret=interpret,
+        params_rows=params_rows,
     )
 
 
@@ -194,6 +219,9 @@ def denoise_from_stack(
     bot_halo: int = 0,
     row0=None,  # traced: global pixel row of row 0 (sharded slabs)
     interpret: bool = False,
+    params_rows=None,  # (KROWS, 128) host-packed kernel-param rows
+    #   (engine/params.pack_kernel_rows); when given, cam/params are
+    #   not packed on device (they must already be in row KROW)
 ) -> jnp.ndarray:
     """Stencil over a channel stack that may carry row halos.
 
@@ -224,27 +252,32 @@ def denoise_from_stack(
         ),
     )
 
-    _, right, up, forward = cam
-    origin = cam[0]
-    pvec = jnp.concatenate(
-        [
-            origin.reshape(3),
-            right.reshape(3),
-            up.reshape(3),
-            forward.reshape(3),
-            jnp.stack(
-                [
-                    jnp.asarray(params.sigma_distance, jnp.float32),
-                    jnp.asarray(params.sigma_range, jnp.float32),
-                    jnp.asarray(params.albedo_factor, jnp.float32),
-                    jnp.asarray(
-                        0.0 if row0 is None else row0, jnp.float32
-                    ),
-                ]
-            ),
-        ]
-    ).astype(jnp.float32)
-    pvec = jnp.pad(pvec, (0, 16 - pvec.shape[0])).reshape(1, 16)
+    if params_rows is not None:
+        pvec = params_rows
+    else:
+        _, right, up, forward = cam
+        origin = cam[0]
+        vec = jnp.concatenate(
+            [
+                origin.reshape(3),
+                right.reshape(3),
+                up.reshape(3),
+                forward.reshape(3),
+                jnp.stack(
+                    [
+                        jnp.asarray(params.sigma_distance, jnp.float32),
+                        jnp.asarray(params.sigma_range, jnp.float32),
+                        jnp.asarray(params.albedo_factor, jnp.float32),
+                        jnp.asarray(
+                            0.0 if row0 is None else row0, jnp.float32
+                        ),
+                    ]
+                ),
+            ]
+        ).astype(jnp.float32)
+        pvec = jnp.zeros((KROWS, ROW_LEN), jnp.float32).at[
+            KROW, : vec.shape[0]
+        ].set(vec)
 
     grid = (hp // TILE_H, wp // TILE_W)
     plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
@@ -257,7 +290,10 @@ def denoise_from_stack(
         grid=grid,
         out_shape=(plane, plane, plane),
         in_specs=[
-            pl.BlockSpec((1, 16), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (KROWS, ROW_LEN), lambda i, j: (0, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # stacked G-buffer (HBM)
         ],
         out_specs=(tile_spec, tile_spec, tile_spec),

@@ -59,6 +59,22 @@ def _inv3(m: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([r0, r1, r2], axis=0) / det
 
 
+def _inv3_np(m):
+    """Host numpy twin of :func:`_inv3` (same cofactor expansion, f32)
+    for the host-packed kernel-param rows — values may differ from the
+    traced version by FMA-contraction ulps, which the temporal validity
+    thresholds absorb (parity tests are tolerance-based)."""
+    import numpy as np
+
+    m = np.asarray(m, np.float32)
+    a, b, c = m[:, 0], m[:, 1], m[:, 2]
+    r0 = np.cross(b, c)
+    r1 = np.cross(c, a)
+    r2 = np.cross(a, b)
+    det = np.dot(a, r0)
+    return (np.stack([r0, r1, r2], axis=0) / det).astype(np.float32)
+
+
 def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """Sample (H, W, C) at float pixel-center coordinates with
     clamp-to-edge, matching a GPU linear sampler at normalized coords."""

@@ -64,7 +64,15 @@ HALO_BOT = -(-(WY_MAX - MARGIN + 1) // 8) * 8
 
 CHANNELS = 5  # history stack: r, g, b, blending, depth
 
-# SMEM params layout (1, 48) f32
+# SMEM params: the frame's unified (KROWS, 128) kernel-param rows
+# (engine/params.pack_kernel_rows) — the temporal fields live in row
+# KROW at the offsets below.  Passing the SAME host-packed block to
+# every Pallas stage removes all device-side packing of small param
+# tensors (XLA staged each through scoped memory with copy-start
+# ping-pongs, ~1.5 ms/frame of serialized glue at 4K).
+KROWS = 4
+KROW = 1  # temporal row index within the block
+ROW_LEN = 128
 _P_ORIGIN = 0  # 3: new camera origin
 _P_RIGHT = 3  # 3 (pixel-scaled basis)
 _P_UP = 6
@@ -90,7 +98,7 @@ def _make_kernel(img_w, real_h, real_w, hist_top):
     serve).  ``hist_top``: history rows above lane row 0 (slab halo)."""
 
     def kernel(
-        p_ref,  # (1, 48) f32 SMEM
+        p_ref,  # (KROWS, 128) f32 SMEM — temporal fields in row KROW
         cr_ref, cg_ref, cb_ref,  # current sample color tiles
         nx_ref, ny_ref, nz_ref,  # first-hit normal tiles
         d_ref,  # depth tile
@@ -119,7 +127,7 @@ def _make_kernel(img_w, real_h, real_w, hist_top):
             cp.start()
 
         def P(i):
-            return p_ref[0, i]
+            return p_ref[KROW, i]
 
         shape = (TILE_H, TILE_W)
         ly = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -347,7 +355,9 @@ def _make_kernel(img_w, real_h, real_w, hist_top):
 def pack_temporal_params(
     cam, old_cam, params, history_valid, clamp_lo, clamp_hi, row0
 ):
-    """(1, 48) f32 SMEM row for the fused kernel — all traced."""
+    """Traced (KROWS, 128) kernel-param rows with the temporal fields
+    in row KROW — the mesh path (dynamic per-slab row0) and any caller
+    without host-packed rows."""
     origin, right, up, fwd = cam
     o_origin, o_right, o_up, o_fwd = old_cam
     from .temporal import _inv3
@@ -382,9 +392,36 @@ def pack_temporal_params(
             ),
         ]
     ).astype(jnp.float32)
-    return jnp.pad(vec, (0, PARAMS_LEN - vec.shape[0])).reshape(
-        1, PARAMS_LEN
-    )
+    rows = jnp.zeros((KROWS, ROW_LEN), jnp.float32)
+    return rows.at[KROW, : vec.shape[0]].set(vec)
+
+
+def pack_temporal_row_host(cam, old_cam, params, history_valid,
+                           img_height):
+    """Host numpy twin of :func:`pack_temporal_params` for the
+    single-device packed-row path (``row0 = 0``, clamps spanning the
+    whole image).  Layout pinned to the ``_P_*`` offsets above; the
+    traced and host packers are asserted equal in the test suite."""
+    import numpy as np
+
+    from .temporal import _inv3_np
+
+    cam = np.asarray(cam, np.float32)
+    old = np.asarray(old_cam, np.float32)
+    basis = np.stack([old[1], old[2], old[3]], axis=1)
+    inv = _inv3_np(basis)
+    vec = np.zeros(PARAMS_LEN, np.float32)
+    vec[0:12] = cam.reshape(12)
+    vec[12:24] = old.reshape(12)
+    vec[_P_INV : _P_INV + 9] = inv.reshape(9)
+    vec[_P_SAMPLE_BLEND] = params.sample_blending
+    vec[_P_MAX_BLEND] = params.maximum_blending
+    vec[_P_CUTOFF] = params.blending_distance_cutoff
+    vec[_P_HVALID] = float(bool(history_valid))
+    vec[_P_CLAMP_LO] = 0.0
+    vec[_P_CLAMP_HI] = float(img_height - 1)
+    vec[_P_ROW0] = 0.0
+    return vec
 
 
 @functools.partial(
@@ -406,6 +443,11 @@ def temporal_blend_fused(
     hist_bot: int = 0,
     row0=None,  # traced scalar: global row of lane row 0
     interpret: bool = False,
+    params_rows=None,  # (KROWS, 128) host-packed kernel-param rows
+    #   (engine/params.pack_kernel_rows).  When given, cam/old_cam/
+    #   params/history_valid are NOT packed on device (they must
+    #   already be in row KROW) — the production single-device path,
+    #   avoiding the scoped-memory staging of tiny traced fusions.
 ):
     """Returns ``(blended (H,W,3), next_blending (H,W))`` — the whole
     reproject+validate+blend stage of ``temporal.comp`` in one kernel.
@@ -427,11 +469,17 @@ def temporal_blend_fused(
     hp = -(-height // TILE_H) * TILE_H
     wp = -(-width // TILE_W) * TILE_W
 
-    clamp_lo = -jnp.asarray(row0, jnp.float32)
-    clamp_hi = np.float32(img_height - 1) - jnp.asarray(row0, jnp.float32)
-    pvec = pack_temporal_params(
-        cam, old_cam, params, history_valid, clamp_lo, clamp_hi, row0
-    )
+    if params_rows is not None:
+        pvec = params_rows
+    else:
+        clamp_lo = -jnp.asarray(row0, jnp.float32)
+        clamp_hi = np.float32(img_height - 1) - jnp.asarray(
+            row0, jnp.float32
+        )
+        pvec = pack_temporal_params(
+            cam, old_cam, params, history_valid, clamp_lo, clamp_hi,
+            row0,
+        )
 
     def pad2(a):
         return jnp.pad(a, ((0, hp - height), (0, wp - width)))
@@ -468,7 +516,7 @@ def temporal_blend_fused(
         out_shape=(plane, plane, plane, plane),
         in_specs=[
             pl.BlockSpec(
-                (1, PARAMS_LEN), lambda i, j: (0, 0),
+                (KROWS, ROW_LEN), lambda i, j: (0, 0),
                 memory_space=pltpu.SMEM,
             ),
             tile, tile, tile,  # color

@@ -1779,7 +1779,8 @@ def render_sample(
     meta_idx: jnp.ndarray,  # (m_rows, 128) int32
     brick_idx: jnp.ndarray,  # (2|3, b_rows, 128) int32 (see _pack_nodes)
     palette: jnp.ndarray,  # (8, 128) int32
-    params_vec: jnp.ndarray,  # (1, PARAMS_LEN) f32
+    params_vec: jnp.ndarray,  # (1, PARAMS_LEN) f32, or (4, 128)
+    #   unified kernel-param rows (trace fields in row 0)
     noise_q: jnp.ndarray,  # (24, P, P, TILE_H, TILE_W) f32, noise_quads()
     *,
     dims: Tuple[int, int, int],
@@ -1880,8 +1881,12 @@ def render_sample(
             plane,  # debug (per-traversal iteration counts)
         ),
         in_specs=[
+            # (1, PARAMS_LEN) legacy vector, or the frame's unified
+            # (4, 128) kernel-param rows with the trace fields in row
+            # 0 (engine/params.pack_kernel_rows) — the kernel reads
+            # row 0 either way
             pl.BlockSpec(
-                (1, PARAMS_LEN),
+                tuple(int(d) for d in params_vec.shape),
                 lambda i, j: (0, 0),
                 memory_space=pltpu.SMEM,
             ),
