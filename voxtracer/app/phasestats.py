@@ -28,8 +28,9 @@ from .cli import load_scene
 PHASES = ["b0", "s0", "b1", "s1", "b2", "s2"]
 
 
-def phase_stats(scene, cam, h, w, knobs=None, interpret=False):
-    """One traced sample's per-phase counter table (list of dicts)."""
+def render_one_sample(scene, cam, h, w, knobs=None, interpret=False):
+    """One traced sample via the Pallas kernel; the raw output dict
+    (color/normal/depth/node/albedo planes + debug counters)."""
     import jax.numpy as jnp
 
     from ..engine.params import RenderParams
@@ -42,7 +43,7 @@ def phase_stats(scene, cam, h, w, knobs=None, interpret=False):
         [cam.position, right, up, forward]
     ).astype(np.float32)
     knobs = knobs or trace_pallas.pick_knobs(h, w)
-    out = trace_pallas.render_sample(
+    return trace_pallas.render_sample(
         jnp.asarray(t["packed_idx"]),
         jnp.asarray(t["meta_idx"]),
         jnp.asarray(t["brick_idx"]),
@@ -63,6 +64,13 @@ def phase_stats(scene, cam, h, w, knobs=None, interpret=False):
         interpret=interpret,
         knobs=knobs,
     )
+
+
+def phase_stats(scene, cam, h, w, knobs=None, interpret=False):
+    """One traced sample's per-phase counter table (list of dicts)."""
+    knobs = knobs or trace_pallas.pick_knobs(h, w)
+    out = render_one_sample(scene, cam, h, w, knobs=knobs,
+                            interpret=interpret)
     dbg = np.asarray(out["debug_iters"])  # (programs, >=30)
     lanes = knobs.tile_h * trace_pallas.TILE_W
     rows = []
@@ -108,6 +116,11 @@ def main(argv=None):
     p.add_argument("--decay", action="store_true",
                    help="bank + print live-decay quantiles "
                         "(sets knobs.decay_stats)")
+    p.add_argument("--floor", default=None,
+                   help="comma list of live_floor values: render base "
+                        "vs capped and count abandoned pixels/blocks "
+                        "(the residual workload of an exact capped-"
+                        "phase scheme)")
     p.add_argument("--interpret", action="store_true")
     args = p.parse_args(argv)
 
@@ -128,6 +141,37 @@ def main(argv=None):
         knobs = knobs.replace(**kw)
     if args.decay:
         knobs = knobs.replace(decay_stats=1)
+
+    if args.floor:
+        base = {
+            k: np.asarray(v)
+            for k, v in render_one_sample(
+                scene, cam, h, w, knobs=knobs,
+                interpret=args.interpret).items()
+        }
+        for F in (int(v) for v in args.floor.split(",")):
+            fk = knobs.replace(live_floor_b=F, live_floor_s=F)
+            capped = render_one_sample(scene, cam, h, w, knobs=fk,
+                                       interpret=args.interpret)
+            anydiff = np.zeros((h, w), bool)
+            per = {}
+            for key, db in capped.items():
+                da = base[key]
+                db = np.asarray(db)
+                if da.shape[:2] != (h, w):
+                    continue
+                d = (da != db)
+                d = d.any(axis=-1) if d.ndim == 3 else d
+                per[key] = int(d.sum())
+                anydiff |= d
+            bh, bw = knobs.tile_h, trace_pallas.TILE_W
+            blocks = anydiff[: h // bh * bh, : w // bw * bw].reshape(
+                h // bh, bh, w // bw, bw).any(axis=(1, 3))
+            print(f"floor={F}: pixels any-diff {int(anydiff.sum())} "
+                  f"({100 * anydiff.sum() / (h * w):.3f}%), blocks "
+                  f"{int(blocks.sum())}/{blocks.size}, "
+                  f"per-channel {per}")
+        return 0
 
     rows = phase_stats(scene, cam, h, w, knobs=knobs,
                        interpret=args.interpret)
