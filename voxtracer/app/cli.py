@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--size", default="1280x720", help="WIDTHxHEIGHT")
     p.add_argument("--frames", type=int, default=16,
                    help="frames to accumulate/render")
+    p.add_argument("--batch", type=int, default=1,
+                   help="render frames in scanned device batches of this "
+                        "size (ONE dispatch per batch via lax.scan) — the "
+                        "offline/export mode; 1 = realtime per-frame loop")
     p.add_argument("-o", "--output", default="frame.png",
                    help="output PNG for the final frame")
     p.add_argument("--video-dir", default=None,
@@ -303,7 +307,42 @@ def main(argv=None) -> int:
         os.makedirs(args.profile, exist_ok=True)
         jax.profiler.start_trace(args.profile)
     t_start = time.perf_counter()
-    for i in range(args.frames):
+    batched = 0
+    if args.batch > 1:
+        # Offline/export mode: the frame loop runs ON DEVICE as a
+        # lax.scan over packed per-frame inputs — one dispatch per
+        # batch instead of per frame.  The remainder (< batch frames)
+        # falls through to the realtime loop below so it never
+        # compiles a second scan length.
+        while args.frames - batched >= args.batch:
+            if watcher is not None:
+                watcher.poll()
+            cams = [
+                fixed_cam
+                if fixed_cam is not None
+                else path((start_frame + batched + j) / args.fps_target)
+                for j in range(args.batch)
+            ]
+            frames_u8 = timer.measure(
+                "batch", renderer.render_sequence, cams,
+                sync=(lambda o: np.asarray(o[-1, 0, 0]))
+                if args.stats else None,
+            )
+            camera = cams[-1]
+            for _ in range(args.batch):
+                fps.tick()
+            if args.video_dir:
+                for j, img in enumerate(np.asarray(frames_u8)):
+                    write_png(
+                        os.path.join(
+                            args.video_dir,
+                            f"frame_{start_frame + batched + j:05d}.png",
+                        ),
+                        img,
+                    )
+            out = {"image": frames_u8[-1]}
+            batched += args.batch
+    for i in range(batched, args.frames):
         if watcher is not None:
             watcher.poll()
         if fixed_cam is None:
