@@ -92,6 +92,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="render frames in scanned device batches of this "
                         "size (ONE dispatch per batch via lax.scan) — the "
                         "offline/export mode; 1 = realtime per-frame loop")
+    p.add_argument("--batch-resample", default="auto",
+                   choices=["auto", "pallas", "xla"],
+                   help="history resampler for --batch frames: 'auto' "
+                        "brackets each batch's worst-case reprojection "
+                        "offsets over a conservative depth sweep and "
+                        "picks 'xla' (any-offset gather) only when they "
+                        "exceed the fused Pallas kernel's serve window "
+                        "(offline there is no depth probe to predict "
+                        "from); 'pallas'/'xla' force the choice")
     p.add_argument("-o", "--output", default="frame.png",
                    help="output PNG for the final frame")
     p.add_argument("--video-dir", default=None,
@@ -325,6 +334,7 @@ def main(argv=None) -> int:
             ]
             frames_u8 = timer.measure(
                 "batch", renderer.render_sequence, cams,
+                resample=args.batch_resample,
                 sync=(lambda o: np.asarray(o[-1, 0, 0]))
                 if args.stats else None,
             )

@@ -514,6 +514,57 @@ def predict_max_offset(cam, old_cam, depth_probe, height, width):
     return float(dy.min()), float(dy.max()), dx_max
 
 
+# Depth sweep for the OFFLINE (no depth probe) conservative offset
+# estimate: reprojection offsets grow as depth shrinks, so evaluating
+# the predictor at a geometric ladder of constant depths down to a
+# fraction of a voxel brackets the true per-pixel offsets from above
+# (plus rotation terms, which are depth-independent and covered too).
+_AUTO_PROBE_DEPTHS = (
+    0.25, 0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0,
+    64.0, 128.0, 256.0, 512.0, 1024.0,
+)
+
+
+def predict_path_offsets(cam_rows, height, width):
+    """Conservative reprojection-offset extremes over a camera path.
+
+    For every consecutive camera pair, evaluates
+    :func:`predict_max_offset` with constant-depth probes swept over
+    ``_AUTO_PROBE_DEPTHS`` — the offline analog of the realtime
+    depth-probe predictor (which has last frame's true depths; a batch
+    has none, so it brackets over all plausible depths).  Returns
+    ``(dy_min, dy_max, dx_max)`` in pixels.
+    """
+    sy = _PROBE_STRIDE_Y(height)
+    sx = _PROBE_STRIDE_X(width)
+    ny = len(range(sy // 2, height, sy))
+    nx = len(range(sx // 2, width, sx))
+    dy_min = dy_max = dx_max = 0.0
+    for old, new in zip(cam_rows[:-1], cam_rows[1:]):
+        if old is None or np.array_equal(old, new):
+            continue
+        for d in _AUTO_PROBE_DEPTHS:
+            probe = np.full((ny, nx), d, np.float64)
+            a, b, c = predict_max_offset(
+                tuple(new), tuple(old), probe, height, width
+            )
+            dy_min = min(dy_min, a)
+            dy_max = max(dy_max, b)
+            dx_max = max(dx_max, c)
+    return dy_min, dy_max, dx_max
+
+
+def offsets_exceed_window(dy_min, dy_max, dx_max):
+    """Whether predicted offsets exceed the fused Pallas resampler's
+    serve window (shared by the realtime predictor and the offline
+    auto-resample picker)."""
+    return (
+        dy_min < -_PRED_MARGIN_Y_NEG
+        or dy_max > _PRED_MARGIN_Y_POS
+        or dx_max > _PRED_MARGIN_X
+    )
+
+
 render_frame = partial(
     jax.jit,
     static_argnames=(
@@ -577,9 +628,15 @@ def _render_sequence_impl(
     (``packed_seq``, (N, KROWS, 128)) are the scanned xs.  Returns the
     final state and the (N, H, W, 3) u8 tonemapped frames.
 
-    Per-frame dynamic decisions (``reproject``/``resample`` are static
-    jit args) must be uniform across the sequence; the Renderer picks
-    them from the camera path before dispatch.
+    ``reproject``/``resample`` are static jit args, uniform across the
+    scan; the Renderer splits a MIXED still/moving camera path into
+    per-segment sub-scans (each with its own static ``reproject``), so
+    still frames keep the cheap elementwise blend and every segment
+    stays bit-identical to the per-frame ``render()`` loop.  (A traced
+    per-frame ``lax.cond`` was tried instead and rejected: the cond
+    boundary changes XLA's fusion/FMA contraction enough to flip
+    validity-threshold pixels, breaking the "never a semantic fork"
+    invariant.)
     """
 
     def step(st, packed):
@@ -600,6 +657,42 @@ render_sequence_jit = partial(
     ),
     donate_argnames=("state",),
 )(_render_sequence_impl)
+
+
+def _render_burst_impl(
+    state, scene_arrays, packed_seq, noise_buffer, **static_kw
+):
+    """Carry-only burst scan: N accumulation passes, ONE output frame.
+
+    ``_render_sequence_impl`` stacks every step's u8 image as scan ys —
+    at 4K a 256-pass converged still would hold ~6 GB of HBM for output
+    that is 24 MB.  A burst only wants the LAST frame, so the image
+    rides in the carry instead (one (H, W, 3) u8 buffer, overwritten —
+    and donated — each step)."""
+    height = static_kw["height"]
+    width = static_kw["width"]
+
+    def body(carry, packed):
+        st, _ = carry
+        st, outputs = _render_frame_packed_impl(
+            st, scene_arrays, packed, noise_buffer, **static_kw
+        )
+        return (st, outputs["image"]), None
+
+    init = (state, jnp.zeros((height, width, 3), jnp.uint8))
+    (st, image), _ = jax.lax.scan(body, init, packed_seq)
+    return st, image
+
+
+render_burst_jit = partial(
+    jax.jit,
+    static_argnames=(
+        "scene_meta", "height", "width", "radius", "reproject",
+        "trace_impl", "resample", "lean", "shard_mesh", "shard_axis",
+        "trace_knobs",
+    ),
+    donate_argnames=("state",),
+)(_render_burst_impl)
 
 
 @dataclasses.dataclass
@@ -649,6 +742,11 @@ class Renderer:
         self._last_cam: Optional[np.ndarray] = None
         self._probe_pending = None
         self._probe_host = None
+        # force a probe registration on the next render() regardless of
+        # frame-number cadence (set after sequences/bursts, which drop
+        # the stale probe — otherwise the fast-motion predictor is
+        # blind for up to _PROBE_EVERY frames after a batch)
+        self._probe_rearm = False
         # host mirror of state["history_valid"] for the packed kernel
         # rows (False only before the first frame after init/scene
         # swap; snapshot.load syncs it on resume)
@@ -710,6 +808,7 @@ class Renderer:
         self.still_sample = 0
         self._probe_pending = None
         self._probe_host = None
+        self._probe_rearm = False
         self._history_valid = False
 
     def render(
@@ -763,11 +862,7 @@ class Renderer:
                 tuple(cam), tuple(prev_cam), self._probe_host,
                 self.height, self.width,
             )
-            if (
-                dy_min < -_PRED_MARGIN_Y_NEG
-                or dy_max > _PRED_MARGIN_Y_POS
-                or dx > _PRED_MARGIN_X
-            ):
+            if offsets_exceed_window(dy_min, dy_max, dx):
                 resample = "xla"
         self.last_resample = resample
 
@@ -806,8 +901,11 @@ class Renderer:
         # age).  Frame 1 registers immediately so the very first
         # motion has a probe to predict from.
         if self._probe_pending is None and (
-            self.frame_number == 1 or self.frame_number % _PROBE_EVERY == 0
+            self.frame_number == 1
+            or self.frame_number % _PROBE_EVERY == 0
+            or self._probe_rearm
         ):
+            self._probe_rearm = False
             self._probe_pending = outputs["depth_probe"]
             try:
                 self._probe_pending.copy_to_host_async()
@@ -816,28 +914,15 @@ class Renderer:
         self._history_valid = True
         return outputs
 
-    def render_sequence(
-        self, cameras, resample: str = "pallas"
-    ) -> jnp.ndarray:
-        """Render ``len(cameras)`` frames in ONE device dispatch.
-
-        The device runs the whole frame loop as a ``lax.scan`` over
-        host-packed per-frame input rows — no per-frame dispatch, no
-        per-frame host round trip.  Returns the (N, H, W, 3) u8 frame
-        stack (device array; ``np.asarray`` it once at the end).
-        Advances the renderer's accumulation state and frame counters
-        exactly as N sequential :meth:`render` calls would.
-
-        Per-frame dynamic choices are static under the scan, so they
-        are decided for the whole sequence up front: ``reproject`` is
-        on iff any frame with live history moves the camera, and
-        history resampling uses ``resample`` ("pallas" offset-serve
-        window; pass "xla" for paths with whip-pan offsets beyond the
-        window — offline there is no depth probe to predict from).
-
-        Output frames stay on device: at 4K a 32-frame stack is
-        ~760 MB of HBM — chunk long exports into multiple calls.
-        """
+    def _pack_sequence(self, cameras, resample):
+        """Shared sequence prep: per-frame packed rows, per-frame
+        reproject flags (True where a moved camera meets live history),
+        and the resolved ``resample`` (``"auto"`` brackets the path's
+        worst-case offsets over a depth sweep — offline there is no
+        depth probe to predict from — and picks the any-offset
+        resampler only when they exceed the fused kernel's serve
+        window).  Returns
+        ``(packed_seq, flags, resample, still, last_cam)``."""
         from .params import pack_kernel_rows
 
         cams = []
@@ -851,15 +936,30 @@ class Renderer:
         if not cams:
             raise ValueError("render_sequence needs at least one camera")
 
+        if resample == "auto":
+            if self.trace_impl.startswith("pallas"):
+                dy_min, dy_max, dx = predict_path_offsets(
+                    [self._last_cam if self._history_valid else None]
+                    + cams,
+                    self.height, self.width,
+                )
+                resample = (
+                    "xla"
+                    if offsets_exceed_window(dy_min, dy_max, dx)
+                    else "pallas"
+                )
+            else:
+                resample = "pallas"  # the XLA trace path ignores it
+
         prev = self._last_cam
         rows = []
-        reproject = False
+        flags = []
         still = self.still_sample
         for i, cam in enumerate(cams):
             moved = prev is None or not np.array_equal(cam, prev)
             hvalid = self._history_valid if i == 0 else True
             # reproject matters only where history exists to resample
-            reproject |= bool(moved and hvalid)
+            flags.append(bool(moved and hvalid))
             still = 0 if moved else still
             still += 1
             rows.append(
@@ -872,38 +972,123 @@ class Renderer:
                 )
             )
             prev = cam
-        packed_seq = np.stack(rows)
+        return np.stack(rows), flags, resample, still, prev
 
-        self.state, frames = render_sequence_jit(
-            self.state,
-            self._scene_arrays,
-            packed_seq,
-            self._noise,
-            scene_meta=self._scene_meta,
-            height=self.height,
-            width=self.width,
-            radius=self.denoise_radius,
-            reproject=reproject,
-            trace_impl=self.trace_impl,
-            resample=resample,
-            lean=True,
-            trace_knobs=self.trace_knobs,
-        )
-        self.frame_number += len(cams)
+    @staticmethod
+    def _segments(flags):
+        """Run-length encode the per-frame reproject flags into
+        ``(start, end, reproject)`` sub-scan segments.  A mixed
+        still/moving path dispatches one scan per segment — each with
+        its static ``reproject`` — so still frames keep the cheap
+        elementwise blend AND every frame stays bit-identical to the
+        per-frame ``render()`` loop (a traced per-frame ``lax.cond``
+        was measured to flip validity-threshold pixels: the cond
+        boundary perturbs XLA's fusion/FMA contraction)."""
+        segs = []
+        start = 0
+        for i in range(1, len(flags)):
+            if flags[i] != flags[start]:
+                segs.append((start, i, flags[start]))
+                start = i
+        segs.append((start, len(flags), flags[start]))
+        return segs
+
+    def _finish_sequence(self, n, still, last_cam, resample, reproject):
+        self.frame_number += n
         self.still_sample = still
-        self._last_cam = prev
+        self._last_cam = last_cam
         self._history_valid = True
-        # the depth probe predates the batch; drop it so the realtime
-        # predictor re-arms from the next render()'s fresh probe
+        # the depth probe predates the batch; drop it and re-arm so the
+        # next render() registers a fresh one immediately (otherwise
+        # the fast-motion predictor is blind for up to _PROBE_EVERY
+        # frames after a batch)
         self._probe_host = None
         self._probe_pending = None
-        self.last_resample = resample if reproject else "pallas"
-        return frames
+        self._probe_rearm = True
+        self.last_resample = (
+            resample if reproject is not False else "pallas"
+        )
+
+    def render_sequence(
+        self, cameras, resample: str = "auto"
+    ) -> jnp.ndarray:
+        """Render ``len(cameras)`` frames in ONE device dispatch.
+
+        The device runs the whole frame loop as a ``lax.scan`` over
+        host-packed per-frame input rows — no per-frame dispatch, no
+        per-frame host round trip.  Returns the (N, H, W, 3) u8 frame
+        stack (device array; ``np.asarray`` it once at the end).
+        Advances the renderer's accumulation state and frame counters
+        exactly as N sequential :meth:`render` calls would — mixed
+        still/moving paths scan with a per-frame traced reproject
+        choice, so still frames keep the cheap elementwise blend.
+
+        ``resample`` picks the history resampler for moving frames:
+        "auto" (default) brackets the path's worst-case reprojection
+        offsets over a conservative depth sweep and selects "xla" (the
+        any-offset gather) only when they exceed the fused Pallas
+        kernel's serve window; "pallas"/"xla" force the choice.
+
+        Output frames stay on device: at 4K a 32-frame stack is
+        ~760 MB of HBM — chunk long exports into multiple calls.
+        Note each distinct (segment length, reproject) pair compiles
+        its own scan; paths that alternate motion every frame would
+        compile many — batch such paths per-frame instead.
+        """
+        packed_seq, flags, resample, still, last = (
+            self._pack_sequence(cameras, resample)
+        )
+        parts = []
+        for start, end, reproject in self._segments(flags):
+            self.state, frames = render_sequence_jit(
+                self.state,
+                self._scene_arrays,
+                packed_seq[start:end],
+                self._noise,
+                scene_meta=self._scene_meta,
+                height=self.height,
+                width=self.width,
+                radius=self.denoise_radius,
+                reproject=reproject,
+                trace_impl=self.trace_impl,
+                resample=resample,
+                lean=True,
+                trace_knobs=self.trace_knobs,
+            )
+            parts.append(frames)
+        self._finish_sequence(
+            len(cameras), still, last, resample, any(flags)
+        )
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
     def render_burst(self, camera: "Camera", n: int) -> jnp.ndarray:
         """N accumulation passes at a fixed camera in one dispatch;
         returns the final (converged) u8 frame (device array).  The
         offline-still analog of holding the realtime loop still for N
         frames (the reference's progressive accumulation,
-        ``src/context.rs:1999``)."""
-        return self.render_sequence([camera] * n)[-1]
+        ``src/context.rs:1999``).  Unlike :meth:`render_sequence` the
+        scan is carry-only — the intermediate frames are never
+        materialized, so a 256-pass 4K burst holds one output image,
+        not ~6 GB of ys."""
+        packed_seq, flags, resample, still, last = (
+            self._pack_sequence([camera] * n, "auto")
+        )
+        image = None
+        for start, end, reproject in self._segments(flags):
+            self.state, image = render_burst_jit(
+                self.state,
+                self._scene_arrays,
+                packed_seq[start:end],
+                self._noise,
+                scene_meta=self._scene_meta,
+                height=self.height,
+                width=self.width,
+                radius=self.denoise_radius,
+                reproject=reproject,
+                trace_impl=self.trace_impl,
+                resample=resample,
+                lean=True,
+                trace_knobs=self.trace_knobs,
+            )
+        self._finish_sequence(n, still, last, resample, any(flags))
+        return image

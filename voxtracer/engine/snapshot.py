@@ -20,12 +20,29 @@ from .camera import Camera
 from .params import DenoiseParams, RenderParams, TemporalParams
 from .pipeline import Renderer
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+_KNOWN_VERSIONS = (1, 2)  # v1 predates the scene-identity hash
+
+
+def scene_hash(scene) -> str:
+    """Stable identity of a scene's geometry + colors: digest of the
+    dense grid values, origin and dims.  Accumulated history is only
+    meaningful against the scene it was rendered from — resuming menger
+    accumulation onto castle would silently blend mismatched history.
+    """
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.asarray(scene.values.shape, np.int64).tobytes())
+    h.update(np.ascontiguousarray(scene.origin).tobytes())
+    h.update(np.ascontiguousarray(scene.values).tobytes())
+    return h.hexdigest()
 
 
 def save(path: str | os.PathLike, renderer: Renderer, camera: Camera):
     meta = {
         "version": FORMAT_VERSION,
+        "scene_hash": scene_hash(renderer.scene),
         "height": renderer.height,
         "width": renderer.width,
         "frame_number": renderer.frame_number,
@@ -48,8 +65,25 @@ def load(path: str | os.PathLike, renderer: Renderer) -> Camera:
     returns the snapshotted camera."""
     data = np.load(path, allow_pickle=False)
     meta = json.loads(str(data["meta"]))
-    if meta["version"] != FORMAT_VERSION:
+    if meta["version"] not in _KNOWN_VERSIONS:
         raise ValueError(f"unsupported snapshot version {meta['version']}")
+    if "scene_hash" in meta:
+        live = scene_hash(renderer.scene)
+        if meta["scene_hash"] != live:
+            raise ValueError(
+                "snapshot scene mismatch: it was written against a "
+                f"different scene (snapshot {meta['scene_hash'][:12]}…, "
+                f"live {live[:12]}…) — resuming would blend accumulated "
+                "history from one scene onto another; load the matching "
+                "scene first"
+            )
+    else:
+        import logging
+
+        logging.getLogger("voxtracer.engine.snapshot").warning(
+            "v1 snapshot carries no scene identity; cannot verify it "
+            "matches the live scene"
+        )
     if (meta["height"], meta["width"]) != (renderer.height, renderer.width):
         raise ValueError(
             "snapshot resolution mismatch: "
