@@ -153,6 +153,85 @@ def test_sharded_pallas_post_stages_bitmatch_with_motion():
 
 
 @pytest.mark.slow
+def test_sharded_whip_pan_any_offset_fallback_bitmatch():
+    """A whip pan whose reprojection offsets exceed the fused kernel's
+    serve window takes the any-offset fallback (resample="xla").  Under
+    the mesh that fallback all-gathers the history planes into every
+    slab and resamples slab-locally — it must bit-match the
+    single-device fallback render (VERDICT r3 next #2; the reference's
+    temporal pass accepts ANY in-frame offset, temporal.comp:92-114)."""
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest should provide 8 virtual CPU devices"
+    height, width = 64, 128
+    scene, meta, args = _setup(height, width)
+    arrays = args[0]
+
+    cam_a = Camera(
+        position=np.array([0.0, 2.0, -8.0]),
+        direction=np.array([0.0, -0.3, 1.0]),
+    )
+    # ~0.5 rad of yaw in one frame: far beyond the serve window in x
+    # AND beyond the slab halos in y
+    cam_b = Camera(
+        position=np.array([0.3, 2.4, -8.2]),
+        direction=np.array([np.sin(0.5), -0.45, np.cos(0.5)]),
+    )
+    # sanity: the offline predictor agrees this is out of window
+    from voxtracer.engine.pipeline import (
+        offsets_exceed_window, predict_path_offsets,
+    )
+
+    def cam_rows(c):
+        r, u, f = c.axis_scaled(width, height)
+        return np.stack([c.position, r, u, f]).astype(np.float32)
+
+    assert offsets_exceed_window(
+        *predict_path_offsets(
+            [cam_rows(cam_a), cam_rows(cam_b)], height, width
+        )
+    )
+
+    def cam_arr(c):
+        return jnp.asarray(cam_rows(c))
+
+    def run_single():
+        state = pipeline.init_state(height, width)
+        for i, c in enumerate((cam_a, cam_b)):
+            state, out = pipeline.render_frame(
+                state, arrays, cam_arr(c), *args[2:5], args[5],
+                jnp.int32(i + 1),
+                scene_meta=meta, height=height, width=width,
+                radius=2, reproject=True, resample="xla",
+                trace_impl="pallas_interpret",
+            )
+        return out
+
+    def run_sharded():
+        mesh = make_mesh()
+        fn, shard_state = sharded_render_frame(
+            mesh, scene_meta=meta, height=height, width=width,
+            radius=2, reproject=True, resample="xla",
+            trace_impl="pallas_interpret",
+        )
+        state = shard_state(pipeline.init_state(height, width))
+        for i, c in enumerate((cam_a, cam_b)):
+            state, out = fn(
+                state, arrays, cam_arr(c), *args[2:5], args[5],
+                jnp.int32(i + 1),
+            )
+        return out
+
+    single = run_single()
+    sharded = run_sharded()
+    for key in ("image", "linear", "depth", "node"):
+        np.testing.assert_array_equal(
+            np.asarray(single[key]),
+            np.asarray(sharded[key]),
+            err_msg=f"outputs[{key}] differs across whip-pan sharding",
+        )
+
+
+@pytest.mark.slow
 def test_sharded_pallas_matches_single_device():
     """The flagship Pallas kernel family composes with the mesh: the
     trace stage runs under shard_map (one row slab per device, params

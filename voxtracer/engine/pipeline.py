@@ -188,18 +188,6 @@ def render_frame_impl(
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        if reproject and resample != "pallas":
-            # The any-offset XLA resampler reads arbitrary history
-            # rows — a gather across ALL slabs, which the slab-local
-            # halo scheme cannot serve.  Refuse loudly rather than
-            # silently rendering with the fused window (which would
-            # restart accumulation on whip pans, the exact behavior
-            # the fallback exists to prevent on a single chip).
-            raise NotImplementedError(
-                "resample='xla' (the fast-motion any-offset fallback)"
-                " is not supported under a device mesh; history"
-                " resampling there is slab-local with fixed row halos"
-            )
         n_dev = shard_mesh.devices.size
         slab = height // n_dev
 
@@ -220,7 +208,32 @@ def render_frame_impl(
             )
             cam_t = tuple(cam_arr[i] for i in range(4))
             old_t = tuple(old_cam_arr[i] for i in range(4))
-            if reproject:
+            if reproject and resample != "pallas":
+                # Whip-pan (any-offset) fallback under the mesh: the
+                # predicted reprojection offsets exceed the fused
+                # kernel's serve window, so fixed row halos cannot
+                # cover the history reads.  All-gather the 5-plane
+                # history into every slab (≈18 MB at 720p — a
+                # rare-frame cost, the predictor only trips on fast
+                # motion) and run the any-offset resampler slab-
+                # locally against the full image, exactly as the
+                # single-chip fallback does (temporal.comp:92-114
+                # accepts any in-frame offset).
+                blended, next_blend = temporal_op.temporal_blend(
+                    gbuf["color"], gbuf["normal"], gbuf["depth"],
+                    jax.lax.all_gather(
+                        acc_color, shard_axis, axis=0, tiled=True
+                    ),
+                    jax.lax.all_gather(
+                        acc_blend, shard_axis, axis=0, tiled=True
+                    ),
+                    jax.lax.all_gather(
+                        old_depth, shard_axis, axis=0, tiled=True
+                    ),
+                    cam_t, old_t, t_params, hvalid,
+                    reproject=True, resample_impl="xla", row0=row0f,
+                )
+            elif reproject:
                 hist = _history_stack(acc_color, acc_blend, old_depth)
                 ht = temporal_pallas.HALO_TOP
                 hb = temporal_pallas.HALO_BOT

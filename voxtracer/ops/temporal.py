@@ -125,9 +125,13 @@ def temporal_blend(
     world = origin + depth[..., None] * ray
 
     if reproject:
-        # history coordinates here are image-local; sharded slabs use
-        # the fused kernel (temporal_pallas), which takes row0/halos
-        assert row0 is None, "sharded reproject uses temporal_pallas"
+        # Reprojected coordinates are GLOBAL image pixels, so bounds
+        # and taps clamp to the HISTORY dims.  Single-device they equal
+        # the current dims; under a mesh the any-offset fallback passes
+        # slab-local current arrays (with ``row0``) against the FULL
+        # all-gathered history (the fused windowed kernel lives in
+        # temporal_pallas and takes halos instead).
+        hist_h, hist_w = old_depth.shape
         # world -> old screen: solve columns([right, up, fwd]) @ s = world - o
         basis = jnp.stack([o_right, o_up, o_forward], axis=1)  # 3x3 columns
         inv = _inv3(basis)
@@ -143,19 +147,20 @@ def temporal_blend(
         s2 = inv[2, 0] * rx + inv[2, 1] * ry + inv[2, 2] * rz
         sx = s0 / s2
         sy = s1 / s2
-        tex_x = (sx + 0.5) / width
-        tex_y = (sy - 0.5) / -height
+        tex_x = (sx + 0.5) / hist_w
+        tex_y = (sy - 0.5) / -hist_h
         in_range = (
             (tex_x >= 0) & (tex_x <= 1) & (tex_y >= 0) & (tex_y <= 1)
         )
-        px_f = tex_x * width
-        py_f = tex_y * height
+        px_f = tex_x * hist_w
+        py_f = tex_y * hist_h
         # one 5-channel history fetch: rgb + blending + depth share the
         # same 4 bilinear taps (gathers are expensive on TPU)
         from . import reproject_pallas
 
         use_pallas = (
             resample_impl == "pallas"
+            and row0 is None
             and height >= reproject_pallas.WIN_H
             and width >= reproject_pallas.WIN_W
         )

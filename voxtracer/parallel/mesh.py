@@ -58,6 +58,8 @@ def sharded_render_frame(
     radius: int = 0,
     reproject: bool = True,
     trace_impl: str = "xla",
+    resample: str = "pallas",  # "xla": the any-offset whip-pan
+    #   fallback — all-gathers history into each slab (rare-frame cost)
     axis: str = "rows",
 ):
     """Build a jitted frame function with row-sharded pixel arrays.
@@ -105,6 +107,7 @@ def sharded_render_frame(
             radius=radius,
             reproject=reproject,
             trace_impl=trace_impl,
+            resample=resample,
             # XLA's partitioner cannot split a Pallas custom call, so
             # the pallas trace stage runs under shard_map on this mesh
             # (the xla path shards transparently through annotations).
