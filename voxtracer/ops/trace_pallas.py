@@ -1461,6 +1461,18 @@ def _make_kernel(
             )
 
         iter_counts = []
+        ray_counts = []  # rays actually traced per phase (mask sums)
+
+        def count_rays(rays_list):
+            """Exact count of rays entering a traversal phase: the sum
+            of the phase's queue-entry masks.  Plane adds + ONE reduce
+            per phase, all outside the while loop — the honest
+            numerator for Mrays/s (BASELINE.md's stated metric; the
+            old bench line only had the 6-per-pixel upper bound)."""
+            acc = zi
+            for (_, _, m) in rays_list:
+                acc = acc + m.astype(jnp.int32)
+            ray_counts.append(jnp.sum(acc))
 
         def shade_hit(g, res, bounce):
             """Bounce-hit shading through the shadow-ray build; the
@@ -1661,6 +1673,7 @@ def _make_kernel(
             ]
             sc_b = bool(scramble & 1) and bounce >= 1
             if merge_shadow and bounce > 0:
+                count_rays([g["s_ray"] for g in G] + brays)
                 # the previous bounce's shadow rays ride this march as
                 # extra queue entries: 4 while loops/frame instead of
                 # 6, and 2x the rays per lane to average the
@@ -1678,6 +1691,7 @@ def _make_kernel(
                     shade_light(g, sres[0])
                 results = res_all[len(G) :]
             else:
+                count_rays(brays)
                 results, it_b = traverse_qn(
                     table_ref, meta_ref, brick_ref,
                     scram_rays(brays, sc_b),
@@ -1692,6 +1706,7 @@ def _make_kernel(
                 shade_hit(g, res, bounce)
             if not merge_shadow:
                 sc_s = bool(scramble & (1 if bounce >= 1 else 2))
+                count_rays([g["s_ray"] for g in G])
                 sresults, it_s = traverse_qn(
                     table_ref, meta_ref, brick_ref,
                     scram_rays([g["s_ray"] for g in G], sc_s),
@@ -1708,6 +1723,7 @@ def _make_kernel(
         if merge_shadow:
             # the last bounce's shadow rays get their own (final) phase
             sc_s = bool(scramble & 1)
+            count_rays([g["s_ray"] for g in G])
             sresults, it_s = traverse_qn(
                 table_ref, meta_ref, brick_ref,
                 scram_rays([g["s_ray"] for g in G], sc_s),
@@ -1751,6 +1767,14 @@ def _make_kernel(
                     ctr.astype(jnp.float32),
                     dbg,
                 )
+        # c = 10: rays traced per phase (exact mask sums; includes the
+        # block-grid padding lanes — they are real traced work)
+        for k, rc in enumerate(ray_counts):
+            dbg = jnp.where(
+                (fy == 0.0) & (fx == float(6 * 10 + k)),
+                rc.astype(jnp.float32),
+                dbg,
+            )
         debug_ref[:tile_h, :TILE_W] = dbg
         for q in range(1, q_blocks):
             rr, cc = divmod(q, q_cols)
@@ -1945,10 +1969,11 @@ def render_sample(
         # half-block, phase k = paired [b0, s0, b1, s1, b2, s2],
         # counter c: 0 outer iters, 1 meta serve rounds, 2 brick serve
         # rounds, 3 fine-resolve serve rounds, 4 live-lane integral,
-        # 5-9 live-decay quantile crossings (knobs.decay_stats only)
+        # 5-9 live-decay quantile crossings (knobs.decay_stats only),
+        # 10 rays traced (exact mask sums, incl. padding lanes)
         "debug_iters": dbg[:: q_rows * tile_h, :].reshape(
             nby // q_rows, nbx // q, q * TILE_W
-        )[..., : (60 if knobs.decay_stats else 30)].reshape(
+        )[..., :66].reshape(
             (nby // q_rows) * (nbx // q), -1
         ),
     }
