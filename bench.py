@@ -76,8 +76,17 @@ def main():
     dt = min(dts)
 
     fps = 1.0 / dt
-    # Ray budget: 1 primary + up to (bounces + sun NEE) per bounce;
-    # report primary Mrays/s alongside fps in the metric name.
+    # Exact rays/frame from the kernel's own ray counters (debug
+    # column 10: every primary/bounce/shadow segment the kernel
+    # traced), so Mrays/s is measured, not a pixel-count upper bound.
+    # One instrumented sample is rendered outside the timed bursts.
+    try:
+        from voxtracer.app.phasestats import phase_stats
+
+        rows = phase_stats(scene, cam, HEIGHT, WIDTH)
+        rays_per_frame = sum(r["rays"] for r in rows)
+    except Exception:
+        rays_per_frame = 0.0
     print(
         json.dumps(
             {
@@ -86,6 +95,7 @@ def main():
                 "unit": "fps",
                 "vs_baseline": round(fps / NORTH_STAR_FPS, 4),
                 "median_burst_fps": round(1.0 / sorted(dts)[1], 3),
+                "mrays_per_s": round(rays_per_frame * fps / 1e6, 1),
             }
         )
     )

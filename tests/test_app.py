@@ -349,3 +349,25 @@ def test_viewer_docstring_matches_bindings():
     doc = viewer.__doc__
     for key in ("; / '", "f / F", "{ / }", "g / G", "h / H", "b / B"):
         assert key in doc
+
+
+def test_ibench_rows_on_cpu():
+    """Interactive-throughput harness end-to-end on a tiny scene: every
+    mode produces a positive fps and the wall mode attributes its
+    residual (wall >= device is not required on CPU, where the
+    'device' profiler sums may exceed wall; only the fields are
+    contract here)."""
+    from voxtracer.app import ibench
+
+    web = ibench.bench_web("3x3x3", 32, 24, seconds=0.5,
+                           trace_impl="xla", warmup_frames=3)
+    assert web["fps"] > 0 and web["frames"] > 0
+
+    tui = ibench.bench_tui("3x3x3", 32, 24, seconds=0.5,
+                           trace_impl="xla")
+    assert tui["fps"] > 0
+
+    wall = ibench.bench_wall("3x3x3", 32, 24, seconds=0.5,
+                             trace_impl="xla")
+    assert wall["wall_ms"] > 0 and wall["fetch_ms"] >= 0
+    assert "wall_over_device" in wall

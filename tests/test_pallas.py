@@ -63,6 +63,7 @@ def _compare(scene, cam, w=128, h=64, seed=7, tile_h=None, **trace_kw):
     x = {k: np.asarray(v) for k, v in x.items()}
 
     agree = o["node"] == x["node"]
+    assert (o["depth"] >= 0).any(), "degenerate case: no hits at all"
     assert agree.mean() > 0.999, f"node agreement {agree.mean()}"
     hit = (o["depth"] >= 0) & agree
     np.testing.assert_allclose(
@@ -74,11 +75,16 @@ def _compare(scene, cam, w=128, h=64, seed=7, tile_h=None, **trace_kw):
     return t
 
 
+@pytest.mark.slow
 def test_pallas_interpret_matches_oracle():
-    """Dev-tier kernel-vs-oracle parity at a reduced 128x32 (one tile
-    row) — half the interpreter cost of the full shape; the slow tier
-    re-covers full/odd shapes (full-tile 128x128, row rectangles,
-    padded widths)."""
+    """Kernel-vs-oracle parity at a reduced 64x32 (one pixel block: a
+    single lane-queue entry, the smallest shape that still walks every
+    phase's serve/queue machinery — ~34 s interpreted, so slow-tier;
+    run it directly when iterating on the trace kernel).  Other slow
+    cases re-cover full/odd shapes (full-tile 128x128, row rectangles,
+    padded widths).  The dev tier keeps the kernel's building blocks
+    exact (test_serve, temporal/denoise interpret parity) and the
+    whole-frame math via the XLA twin (test_render_parity)."""
     vl = VoxelList(
         pos=np.array(
             [[0, 0, 0], [2, 1, 0], [1, 0, 3], [-2, 1, 1]], dtype=np.int16
@@ -95,9 +101,10 @@ def test_pallas_interpret_matches_oracle():
     )
     scene = GridScene.from_voxels(vl)
     cam = Camera(position=np.array([0.3, 0.2, -1.5]))
-    _compare(scene, cam, h=32)
+    _compare(scene, cam, w=64, h=32)
 
 
+@pytest.mark.slow
 def test_ray_counters_exact():
     """The kernel's per-phase ray counters (debug c=10) are exact:
     b0 = all padded lanes, b1 = primary hit count, shadow phases are
@@ -106,7 +113,7 @@ def test_ray_counters_exact():
     from voxtracer.engine.camera import Camera
     from voxtracer.scene import default_scene
 
-    scene = GridScene.from_voxels(default_scene(radius=6, seed=3))
+    scene = GridScene.from_voxels(default_scene(radius=4, seed=3))
     cam = Camera(
         position=np.array([0.0, 2.0, -8.0]),
         direction=np.array([0.0, -0.3, 1.0]),

@@ -4,6 +4,7 @@ quantized leaves, correct origin, and renderable end-to-end (the
 builder, so its invariants are pinned here at a small size)."""
 
 import numpy as np
+import pytest
 
 from voxtracer.app.scaleprobe import synthetic_shell
 from voxtracer.engine.camera import Camera
@@ -29,6 +30,7 @@ def test_synthetic_shell_invariants():
     np.testing.assert_array_equal(s.values, s2.values)
 
 
+@pytest.mark.slow
 def test_synthetic_shell_renders():
     s = synthetic_shell(48)
     cam = Camera(

@@ -46,6 +46,7 @@ def _pair(scene, **kw):
     return a, b
 
 
+@pytest.mark.slow
 def test_burst_matches_sequential_still():
     """A fresh-state static burst == N sequential still renders."""
     scene = _tiny_scene()
@@ -95,6 +96,7 @@ def test_sequence_matches_sequential_motion():
         )
 
 
+@pytest.mark.slow
 def test_mixed_still_and_motion_sequence_matches_sequential():
     """A path mixing stills with pans splits into per-segment
     sub-scans (static reproject each) and stays bit-identical to the

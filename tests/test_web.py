@@ -114,6 +114,7 @@ def test_render_once_publishes_frames(viewer_server):
     assert n1 == n0 + 1 and len(data) > 100
 
 
+@pytest.mark.slow
 def test_live_resize_roundtrip(viewer_server):
     """A size event rebuilds the renderer at the new resolution and
     the next published frame has the new dims; params and camera

@@ -1,0 +1,252 @@
+"""Interactive end-to-end throughput benchmark.
+
+The fps that bench.py publishes is device throughput; this tool
+publishes what a person at the front end actually experiences —
+VERDICT r3 "make the interactive path as honest as the bench path":
+
+  * ``web``  — client-observed MJPEG fps: a headless client consumes
+    frames from :class:`WebViewer` exactly like the browser's
+    ``/stream`` reader (render → lookahead fetch → JPEG encode thread
+    → latest-wins publish), while the camera rotates in place via the
+    same ``look`` events the browser posts.  Encode overlap, dropped
+    stale frames and the dispatch pipeline are all included — this IS
+    the number the browser's fps overlay shows.
+  * ``tui``  — the terminal viewer's frame path (render + lookahead
+    fetch + vectorized ANSI half-block formatting) without curses,
+    frames written to a sink.
+  * ``wall`` — pipelined realtime loop wall ms/frame vs the profiler's
+    in-frame device ms for the same config, plus the steady-state cost
+    of one blocking u8-image fetch so the wall/device residual is
+    pinned on the host link rather than guessed at.
+
+The reference's presentation path is uncapped
+(``PresentMode::Immediate``/fallback, /root/reference/src/context.rs:702
+``present_mode`` selection; its egui fps counter is true end-to-end
+throughput).  This harness holds ours to the same standard.
+
+Run (TPU):  python -m voxtracer.app.ibench            # all rows
+            python -m voxtracer.app.ibench --only web --seconds 8
+Each row prints one JSON line; ``--markdown`` appends a table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from ..engine.pipeline import Renderer
+from . import camera_paths
+from .cli import load_scene
+from .input import FlyController
+
+def _spin(viewer, dx: float = 3.0):
+    """Post one slow-look mouse delta (rotating in place keeps the
+    scene framed for minutes while still exercising the moving-camera
+    reprojection path every frame)."""
+    viewer.handle_event({"type": "grab", "grabbed": True})
+    viewer.handle_event({"type": "look", "dx": dx, "dy": 0.0})
+
+
+def bench_web(scene_name: str, w: int, h: int, seconds: float,
+              trace_impl: str | None = None,
+              warmup_frames: int = 10) -> dict:
+    """Client-observed fps from a live WebViewer loop."""
+    from .web import WebViewer
+
+    r = Renderer(scene=load_scene(scene_name), height=h, width=w,
+                 lean=True, trace_impl=trace_impl)
+    viewer = WebViewer(r, scenes=[scene_name])
+    # frame the scene like the viewers do
+    cam0 = camera_paths.static(r.scene)(0.0)
+    viewer.ctl.camera = cam0
+    d = cam0.direction / np.linalg.norm(cam0.direction)
+    viewer.ctl.pitch = float(np.arcsin(d[1]))
+    viewer.ctl.yaw = float(np.arctan2(d[0], d[2]))
+    viewer.start()
+    try:
+        # warm every jit variant (still + moving camera): frame-count
+        # based, so a slow first compile extends the warmup instead of
+        # eating the timed window
+        seen = 0
+        for _ in range(warmup_frames):
+            _spin(viewer)
+            _, _, seen = viewer.wait_frame(seen, timeout=300.0)
+        t0 = time.perf_counter()
+        first = seen
+        deadline = t0 + seconds
+        while time.perf_counter() < deadline:
+            _spin(viewer)
+            _, _, seen = viewer.wait_frame(seen, timeout=120.0)
+        dt = time.perf_counter() - t0
+        frames = seen - first
+    finally:
+        viewer.stop()
+    fps = frames / dt
+    return dict(
+        mode="web", scene=scene_name, resolution=f"{w}x{h}",
+        frames=frames, seconds=round(dt, 2), fps=round(fps, 1),
+        note="client-observed MJPEG fps, moving camera, JPEG encode "
+             "included (latest-wins drops counted as dropped)",
+    )
+
+
+def bench_tui(scene_name: str, w: int, h: int, seconds: float,
+              trace_impl: str | None = None) -> dict:
+    """The terminal viewer's frame path, curses replaced by a
+    byte sink (the real terminal's write cost varies by emulator;
+    formatting — the part we own — is included)."""
+    from .viewer import _halfblock_frame
+
+    r = Renderer(scene=load_scene(scene_name), height=h, width=w,
+                 lean=True, trace_impl=trace_impl)
+    ctl = FlyController()
+    cam0 = camera_paths.static(r.scene)(0.0)
+    ctl.camera = cam0
+    d = cam0.direction / np.linalg.norm(cam0.direction)
+    ctl.pitch = float(np.arcsin(d[1]))
+    ctl.yaw = float(np.arctan2(d[0], d[2]))
+    ctl.cursor_grabbed = True
+
+    def step():
+        ctl.mouse_delta(3.0, 0.0)
+        return r.render(ctl.update(0.0))
+
+    # warm both jit variants (first compile may take a minute)
+    np.asarray(r.render(cam0)["image"])
+    np.asarray(step()["image"])
+
+    sink = 0
+    pending = None
+    frames = 0
+    t0 = time.perf_counter()
+    deadline = t0 + seconds
+    while time.perf_counter() < deadline:
+        out = step()
+        try:
+            out["image"].copy_to_host_async()
+        except (AttributeError, NotImplementedError, TypeError):
+            pass
+        if pending is not None:
+            frame = _halfblock_frame(np.asarray(pending))
+            sink += len(frame)
+            frames += 1
+        pending = out["image"]
+    dt = time.perf_counter() - t0
+    fps = frames / dt if dt > 0 else 0.0
+    return dict(
+        mode="tui", scene=scene_name, resolution=f"{w}x{h}",
+        frames=frames, seconds=round(dt, 2), fps=round(fps, 1),
+        note="render + lookahead fetch + ANSI half-block formatting "
+             f"({sink / max(frames, 1) / 1e3:.0f} kB/frame to sink)",
+    )
+
+
+def bench_wall(scene_name: str, w: int, h: int, seconds: float,
+               trace_impl: str | None = None) -> dict:
+    """Pipelined wall ms/frame vs profiler device ms for the realtime
+    loop, with the blocking-fetch cost measured separately so the
+    residual is attributed, not assumed."""
+    import shutil
+    import tempfile
+
+    from .profile import profile_frames
+
+    r = Renderer(scene=load_scene(scene_name), height=h, width=w,
+                 lean=True, trace_impl=trace_impl)
+    ctl = FlyController()
+    cam0 = camera_paths.static(r.scene)(0.0)
+    ctl.camera = cam0
+    ctl.cursor_grabbed = True
+
+    def cams():
+        ctl.mouse_delta(3.0, 0.0)
+        return ctl.update(0.0)
+
+    # warm both jit variants (first compile may take a minute)
+    np.asarray(r.render(cam0)["image"])
+    np.asarray(r.render(cams())["image"])
+
+    # pipelined loop: dispatch N+1 before fetching N (the viewers' path)
+    pending = None
+    frames = 0
+    t0 = time.perf_counter()
+    deadline = t0 + seconds
+    while time.perf_counter() < deadline:
+        out = r.render(cams())
+        try:
+            out["image"].copy_to_host_async()
+        except (AttributeError, NotImplementedError, TypeError):
+            pass
+        if pending is not None:
+            np.asarray(pending)
+            frames += 1
+        pending = out["image"]
+    wall_ms = (time.perf_counter() - t0) / max(frames, 1) * 1e3
+
+    # steady-state cost of ONE blocking image fetch (the tunnel /
+    # host-link term): fetch the already-computed frame repeatedly
+    img = r.render(cams())["image"]
+    np.asarray(img)
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        np.asarray(img)
+    fetch_ms = (time.perf_counter() - t0) / n * 1e3
+
+    # in-frame device time (all ops) via the profiler
+    logdir = tempfile.mkdtemp(prefix="voxibench_")
+    try:
+        rows = profile_frames(r, [cams() for _ in range(6)], logdir)
+    finally:
+        shutil.rmtree(logdir, ignore_errors=True)
+    device_ms = sum(ns for _, ns in rows) / 6 / 1e6
+
+    return dict(
+        mode="wall", scene=scene_name, resolution=f"{w}x{h}",
+        wall_ms=round(wall_ms, 2), device_ms=round(device_ms, 2),
+        fetch_ms=round(fetch_ms, 2),
+        wall_over_device=round(wall_ms / max(device_ms, 1e-9), 2),
+        fps=round(1e3 / wall_ms, 1),
+        note="pipelined loop (lookahead fetch); fetch_ms = one blocking "
+             "u8 image fetch, steady state (host-link cost per frame)",
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--only", choices=["web", "tui", "wall"], default=None)
+    p.add_argument("--seconds", type=float, default=6.0)
+    p.add_argument("--markdown", action="store_true")
+    args = p.parse_args(argv)
+
+    rows = []
+    if args.only in (None, "web"):
+        rows.append(bench_web("chr_knight", 640, 360, args.seconds))
+        rows.append(bench_web("menger", 640, 360, args.seconds))
+    if args.only in (None, "tui"):
+        rows.append(bench_tui("chr_knight", 256, 144, args.seconds))
+    if args.only in (None, "wall"):
+        rows.append(bench_wall("chr_knight", 1280, 720, args.seconds))
+    for row in rows:
+        print(json.dumps(row))
+    if args.markdown:
+        print("\n| mode | scene | resolution | fps | detail |")
+        print("|---|---|---|---|---|")
+        for r in rows:
+            detail = (
+                f"wall {r['wall_ms']} ms / device {r['device_ms']} ms "
+                f"(x{r['wall_over_device']}), fetch {r['fetch_ms']} ms"
+                if r["mode"] == "wall" else r["note"]
+            )
+            print(f"| {r['mode']} | {r['scene']} | {r['resolution']} | "
+                  f"{r['fps']} | {detail} |")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -44,9 +44,13 @@ and friends; each term names its code section):
   per-phase overhead  per program: shading ~120 plane-ops/group,
                              finish ~56/queue-entry + fine serve
 
-Handoffs: 3 per step (ladder min→dynamic-slice, serve-cond any,
-live-integral scalar carry) + 1/qswap (outer while cond)
-+ 2 per adaptive serve round + ~1 per finish call.
+Handoffs (post-r4 serve restructure): 2 per step (the ladder-base min
+and the pending max — issued back-to-back from the same operands, so
+their stalls may partially overlap; counted fully, which keeps the
+model conservative) + 1/qswap (outer while cond) + 1 per adaptive
+serve round (its window-base min; the round's pending test is a
+scalar compare).  The live-lane integral accumulates as a plane
+(reduced once after the loop) and costs no per-step handoff.
 
 Model outputs per config:
 
@@ -96,8 +100,8 @@ OPS_SWAP_PER_Q = 15.0
 OPS_OUTER_COND = 8.0
 OPS_SHADE_PER_GROUP = 120.0
 OPS_FINISH_PER_ENTRY = 56.0
-HANDOFFS_PER_STEP = 3.0  # ladder min, serve-cond, live-integral
-HANDOFFS_PER_ADAPTIVE = 2.0
+HANDOFFS_PER_STEP = 2.0  # ladder-base min + pending max
+HANDOFFS_PER_ADAPTIVE = 1.0  # window-base min (pending test is scalar)
 HANDOFFS_PER_FINISH = 1.0
 
 

@@ -421,32 +421,52 @@ def _serve_loop(
         cached_ = jnp.where(in_win, waddr, cached_)
         return word_, cached_
 
+    # ONE pre-pass computes the pending-row min (ladder base) AND max:
+    # ladder coverage is contiguous from the min, so "anything left?"
+    # is the SCALAR test r_max >= last_window_end — the adaptive while
+    # cond then needs no plane reduce at all, and each adaptive round
+    # pays exactly ONE vector->scalar handoff (its window-base min)
+    # instead of two (min + unserved.any()).  Roofline r4: handoff
+    # stalls were the largest modeled term (~40% of the trace frame).
     needf0 = (need_i == 1) & (waddr != cached)
     r_min = jnp.min(jnp.where(needf0, rows, BIG_I32))
+    r_max = jnp.max(jnp.where(needf0, rows, -1))
     r0 = jnp.clip(r_min, 0, n_rows_ - win)
-    for k in range(min(ladder, -(-n_rows_ // win))):
-        word, cached = sweep(
-            word, cached, jnp.minimum(r0 + k * win, n_rows_ - win)
-        )
-
-    def serve_round(word_, cached_):
-        needf = (need_i == 1) & (waddr != cached_)
-        r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
-        r_base = jnp.clip(r_min, 0, n_rows_ - win)
-        return sweep(word_, cached_, r_base)
+    nladder = min(ladder, -(-n_rows_ // win))
+    last_base = None
+    for k in range(nladder):
+        base = jnp.minimum(r0 + k * win, n_rows_ - win)
+        word, cached = sweep(word, cached, base)
+        last_base = base
+    if nladder > 0:
+        # pending rows never lie below the first window (r0 <= r_min)
+        # and the ladder windows are contiguous, so only rows past the
+        # last window's end can still be unserved
+        hp0 = (r_max >= last_base + win).astype(jnp.int32)
+    else:
+        hp0 = (r_min < BIG_I32).astype(jnp.int32)
 
     def serve_cond(ss):
-        k, word_, cached_ = ss
-        unserved = (need_i == 1) & (waddr != cached_)
-        return jnp.logical_and(k < 256, unserved.any())
+        k, hp, word_, cached_ = ss
+        return jnp.logical_and(k < 256, hp == 1)
 
     def serve_body(ss):
-        k, word_, cached_ = ss
-        word_, cached_ = serve_round(word_, cached_)
-        return k + 1, word_, cached_
+        k, hp, word_, cached_ = ss
+        needf = (need_i == 1) & (waddr != cached_)
+        rm = jnp.min(jnp.where(needf, rows, BIG_I32))
+        r_base = jnp.clip(rm, 0, n_rows_ - win)
+        word_, cached_ = sweep(word_, cached_, r_base)
+        # all pending rows >= rm and [r_base, r_base+win) was served,
+        # so pending survives iff the max lies past the window end
+        return (
+            k + 1,
+            (r_max >= r_base + win).astype(jnp.int32),
+            word_,
+            cached_,
+        )
 
-    kf, word, cached = jax.lax.while_loop(
-        serve_cond, serve_body, (np.int32(0), word, cached)
+    kf, _, word, cached = jax.lax.while_loop(
+        serve_cond, serve_body, (np.int32(0), hp0, word, cached)
     )
     return word, cached, kf
 
@@ -463,10 +483,17 @@ def _serve_loop_hbm(
     rows = waddr >> 7
     need_i = need0.astype(jnp.int32)
 
-    def serve_round(word_, cached_):
+    # scalar-carried pending test — see _serve_loop (one handoff per
+    # round: the window-base min; the cond is a pure scalar compare)
+    needf0 = (need_i == 1) & (waddr != cached)
+    r_max = jnp.max(jnp.where(needf0, rows, -1))
+    hp0 = (r_max >= 0).astype(jnp.int32)
+
+    def serve_body(ss):
+        k, hp, word_, cached_ = ss
         needf = (need_i == 1) & (waddr != cached_)
-        r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
-        r_base = jnp.clip(r_min, 0, n_rows_ - win)
+        rm = jnp.min(jnp.where(needf, rows, BIG_I32))
+        r_base = jnp.clip(rm, 0, n_rows_ - win)
         dma = pltpu.make_async_copy(
             ref.at[pl.ds(r_base, win), :], scratch, sem
         )
@@ -482,20 +509,18 @@ def _serve_loop_hbm(
             word_ = jnp.where(off == s8, g, word_)
         in_win = (off >= 0) & (off < win)
         cached_ = jnp.where(in_win, waddr, cached_)
-        return word_, cached_
+        return (
+            k + 1,
+            (r_max >= r_base + win).astype(jnp.int32),
+            word_,
+            cached_,
+        )
 
     def serve_cond(ss):
-        k, word_, cached_ = ss
-        unserved = (need_i == 1) & (waddr != cached_)
-        return jnp.logical_and(k < 256, unserved.any())
+        return jnp.logical_and(ss[0] < 256, ss[1] == 1)
 
-    def serve_body(ss):
-        k, word_, cached_ = ss
-        word_, cached_ = serve_round(word_, cached_)
-        return k + 1, word_, cached_
-
-    kf, word, cached = jax.lax.while_loop(
-        serve_cond, serve_body, (np.int32(0), word, cached)
+    kf, _, word, cached = jax.lax.while_loop(
+        serve_cond, serve_body, (np.int32(0), hp0, word, cached)
     )
     return word, cached, kf
 
@@ -533,34 +558,42 @@ def _serve_loop_pair(
         cached_ = jnp.where(in_win, waddr, cached_)
         return lo_, hi_, cached_
 
-    # static ladder after one min-reduce — see _serve_loop
+    # static ladder after one min-reduce, scalar-carried pending test
+    # for the adaptive rounds — see _serve_loop
     needf0 = (need_i == 1) & (waddr != cached)
     r_min = jnp.min(jnp.where(needf0, rows, BIG_I32))
+    r_max = jnp.max(jnp.where(needf0, rows, -1))
     r0 = jnp.clip(r_min, 0, n_rows_ - win)
-    for k in range(min(ladder, -(-n_rows_ // win))):
-        lo, hi, cached = sweep(
-            lo, hi, cached, jnp.minimum(r0 + k * win, n_rows_ - win)
-        )
-
-    def serve_round(lo_, hi_, cached_):
-        needf = (need_i == 1) & (waddr != cached_)
-        r_min = jnp.min(jnp.where(needf, rows, BIG_I32))
-        r_base = jnp.clip(r_min, 0, n_rows_ - win)
-        return sweep(lo_, hi_, cached_, r_base)
+    nladder = min(ladder, -(-n_rows_ // win))
+    last_base = None
+    for k in range(nladder):
+        base = jnp.minimum(r0 + k * win, n_rows_ - win)
+        lo, hi, cached = sweep(lo, hi, cached, base)
+        last_base = base
+    if nladder > 0:
+        hp0 = (r_max >= last_base + win).astype(jnp.int32)
+    else:
+        hp0 = (r_min < BIG_I32).astype(jnp.int32)
 
     def serve_cond(ss):
-        k = ss[0]
-        cached_ = ss[3]
-        unserved = (need_i == 1) & (waddr != cached_)
-        return jnp.logical_and(k < 256, unserved.any())
+        return jnp.logical_and(ss[0] < 256, ss[1] == 1)
 
     def serve_body(ss):
-        k, lo_, hi_, cached_ = ss
-        lo_, hi_, cached_ = serve_round(lo_, hi_, cached_)
-        return k + 1, lo_, hi_, cached_
+        k, hp, lo_, hi_, cached_ = ss
+        needf = (need_i == 1) & (waddr != cached_)
+        rm = jnp.min(jnp.where(needf, rows, BIG_I32))
+        r_base = jnp.clip(rm, 0, n_rows_ - win)
+        lo_, hi_, cached_ = sweep(lo_, hi_, cached_, r_base)
+        return (
+            k + 1,
+            (r_max >= r_base + win).astype(jnp.int32),
+            lo_,
+            hi_,
+            cached_,
+        )
 
-    kf, lo, hi, cached = jax.lax.while_loop(
-        serve_cond, serve_body, (np.int32(0), lo, hi, cached)
+    kf, _, lo, hi, cached = jax.lax.while_loop(
+        serve_cond, serve_body, (np.int32(0), hp0, lo, hi, cached)
     )
     return lo, hi, cached, kf
 
@@ -675,8 +708,13 @@ def _make_traverse(
             sy = jnp.sign(dy).astype(jnp.int32)
             sz = jnp.sign(dz).astype(jnp.int32)
             # live-lane integral: Σ_steps (active lanes) — utilization
-            # diagnostics for compaction headroom (read via debug_iters)
-            nlive = nlive + jnp.sum(active)
+            # diagnostics for compaction headroom (read via
+            # debug_iters).  Accumulated as a PLANE and reduced once
+            # after the while loop: the old per-step jnp.sum was a
+            # vector->scalar loop carry costing a ~350-cycle handoff
+            # EVERY step (roofline r4: the single largest removable
+            # sync term, ~1 ms/frame at 720p).
+            nlive = nlive + active
             # 1. bounds check (oracle order: before the value test)
             inb = (
                 (cx >= 0)
@@ -1222,13 +1260,15 @@ def _make_traverse(
 
         tq0 = (np.int32(0),) * 5 if decay_stats else ()
         state = (
-            (np.int32(0), np.int32(0), np.int32(0), np.int32(0),
+            # n_live (slot 3) is a PLANE carry, reduced once after the
+            # loop (a scalar carry paid a per-step handoff stall)
+            (np.int32(0), np.int32(0), np.int32(0), zero_i,
              qidx0, steps0)
             + ray0 + trav0 + mst0 + recs0 + saved0 + tq0
         )
         out = jax.lax.while_loop(cond, body, state)
         n_iters, n_serves, n_act = out[0], out[1], out[2]
-        n_live, qidx = out[3], out[4]
+        n_live, qidx = jnp.sum(out[3]), out[4]
         active = out[TRAV0]
         cur = tuple(out[TRAV0 + 1 : TRAV0 + 5])  # cx, cy, cz, t
         recs = out[REC0:SAV0]
