@@ -187,12 +187,15 @@ def bench_wall(scene_name: str, w: int, h: int, seconds: float,
     wall_ms = (time.perf_counter() - t0) / max(frames, 1) * 1e3
 
     # steady-state cost of ONE blocking image fetch (the tunnel /
-    # host-link term): fetch the already-computed frame repeatedly
-    img = r.render(cams())["image"]
-    np.asarray(img)
-    t0 = time.perf_counter()
+    # host-link term).  Each fetch must hit a DISTINCT device array:
+    # jax caches the host copy after the first np.asarray, so
+    # re-fetching one array times a no-op.  Render n frames first
+    # (cheap, unmaterialized), then time one materialization each.
     n = 5
-    for _ in range(n):
+    imgs = [r.render(cams())["image"] for _ in range(n)]
+    np.asarray(r.render(cams())["image"])  # drain the queue
+    t0 = time.perf_counter()
+    for img in imgs:
         np.asarray(img)
     fetch_ms = (time.perf_counter() - t0) / n * 1e3
 
