@@ -371,3 +371,31 @@ def test_ibench_rows_on_cpu():
                              trace_impl="xla")
     assert wall["wall_ms"] > 0 and wall["fetch_ms"] >= 0
     assert "wall_over_device" in wall
+
+
+@pytest.mark.slow
+def test_roofline_model_on_cpu():
+    """The roofline's analytic model assembles from the interpreted
+    kernel counters (~40 s: interpreted Pallas): every term positive
+    where work exists, the
+    serial model at least the optimistic bound, and the ray count
+    matching the phase rows it was built from."""
+    import numpy as np
+
+    from voxtracer.app import camera_paths
+    from voxtracer.app.cli import load_scene
+    from voxtracer.app.roofline import model_config
+
+    scene = load_scene("3x3x3")
+    cam = camera_paths.static(scene)(0.0)
+    rows, model = model_config(scene, cam, 24, 32, interpret=True)
+
+    assert model["rays"] == sum(r["rays"] for r in rows) > 0
+    assert model["steps"] > 0 and model["plane_ops"] > 0
+    assert model["handoffs"] > 0
+    assert model["t_vpu_ms"] > 0 and model["t_sync_ms"] > 0
+    assert model["t_model_ms"] >= model["t_bound_ms"] > 0
+    assert np.isclose(
+        model["t_model_ms"],
+        model["t_vpu_ms"] + model["t_sync_ms"] + model["t_dma_ms"],
+    )
