@@ -31,3 +31,17 @@ def vox_dir() -> str:
     if os.path.isdir(VOX_DIR):
         return VOX_DIR
     return REFERENCE_VOX_DIR
+
+
+def gbuf_hwc(d):
+    """Planar Pallas G-buffer dict -> channels-last numpy for
+    comparisons against the (H, W, 3) oracle / XLA twins."""
+    import numpy as np
+
+    out = {}
+    for k, v in d.items():
+        a = np.asarray(v)
+        if k in ("color", "normal", "albedo"):
+            a = np.moveaxis(a, 0, -1)
+        out[k] = a
+    return out

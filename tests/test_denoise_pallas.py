@@ -33,12 +33,13 @@ def test_pallas_denoise_matches_xla():
             colors, normal, depth, albedo, material, cam, params
         )
     )
-    got = np.asarray(
+    got = np.moveaxis(np.asarray(
         denoise_pallas.denoise(
-            colors, normal, depth, albedo, material, cam, params,
+            jnp.moveaxis(colors, -1, 0), jnp.moveaxis(normal, -1, 0),
+            depth, jnp.moveaxis(albedo, -1, 0), material, cam, params,
             radius=2, interpret=True,
         )
-    )
+    ), 0, -1)
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
     # radius 0: pure albedo modulation on both paths
@@ -47,10 +48,11 @@ def test_pallas_denoise_matches_xla():
             colors, normal, depth, albedo, material, cam, params
         )
     )
-    got0 = np.asarray(
+    got0 = np.moveaxis(np.asarray(
         denoise_pallas.denoise(
-            colors, normal, depth, albedo, material, cam, params,
+            jnp.moveaxis(colors, -1, 0), jnp.moveaxis(normal, -1, 0),
+            depth, jnp.moveaxis(albedo, -1, 0), material, cam, params,
             radius=0, interpret=True,
         )
-    )
+    ), 0, -1)
     np.testing.assert_allclose(got0, ref0, atol=1e-6)

@@ -60,7 +60,9 @@ def _compare(scene, cam, w=128, h=64, seed=7, tile_h=None, **trace_kw):
         interpret=True,
         **trace_kw,
     )
-    x = {k: np.asarray(v) for k, v in x.items()}
+    from tests.conftest import gbuf_hwc
+
+    x = gbuf_hwc(x)
 
     agree = o["node"] == x["node"]
     assert (o["depth"] >= 0).any(), "degenerate case: no hits at all"
@@ -240,7 +242,9 @@ def test_pallas_scramble_is_bit_exact():
             interpret=True,
             knobs=knobs,
         )
-        return {k: np.asarray(v) for k, v in out.items()}
+        from tests.conftest import gbuf_hwc
+
+        return gbuf_hwc(out)
 
     base = run(trace_pallas.DEFAULT_KNOBS.replace(scramble=0))
     for mode in (1, 3):

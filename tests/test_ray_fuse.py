@@ -92,7 +92,9 @@ def _render(scene, cam, h, w, max_ray_steps=None):
         interpret=True,
         max_ray_steps=max_ray_steps,
     )
-    return {k: np.asarray(v) for k, v in out.items()}
+    from tests.conftest import gbuf_hwc
+
+    return gbuf_hwc(out)
 
 
 @pytest.mark.slow

@@ -74,12 +74,13 @@ def _run_both(h, w, d_pos, history_valid=True, params=None):
         ]
     )
     out, nb = temporal_pallas.temporal_blend_fused(
-        color, normal, depth, hist, cam, old_cam, params,
+        jnp.moveaxis(color, -1, 0), jnp.moveaxis(normal, -1, 0),
+        depth, hist, cam, old_cam, params,
         jnp.asarray(history_valid), interpret=True,
     )
     return (
         np.asarray(ref), np.asarray(ref_nb),
-        np.asarray(out), np.asarray(nb),
+        np.moveaxis(np.asarray(out), 0, -1), np.asarray(nb),
     )
 
 
@@ -209,13 +210,15 @@ def test_fused_large_motion_restarts_accumulation():
         ]
     )
     out, nb = temporal_pallas.temporal_blend_fused(
-        color, normal, depth, hist, cam, old_cam, params,
+        jnp.moveaxis(color, -1, 0), jnp.moveaxis(normal, -1, 0),
+        depth, hist, cam, old_cam, params,
         jnp.asarray(True), interpret=True,
     )
     # vertical whip pan: reprojection offsets far exceed MARGIN
     # everywhere, so every lane restarts (blended == fresh sample)
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(color), rtol=0, atol=0
+        np.moveaxis(np.asarray(out), 0, -1), np.asarray(color),
+        rtol=0, atol=0,
     )
     np.testing.assert_allclose(
         np.asarray(nb),

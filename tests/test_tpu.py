@@ -58,7 +58,9 @@ def _trace(scene, cam, h, w, **kw):
         width=w,
         **kw,
     )
-    return {k: np.asarray(v) for k, v in out.items()}, (buf, params)
+    from tests.conftest import gbuf_hwc
+
+    return gbuf_hwc(out), (buf, params)
 
 
 @requires_tpu
@@ -230,11 +232,13 @@ def test_fused_temporal_matches_xla_on_hardware():
         ]
     )
     out, nb = temporal_pallas.temporal_blend_fused(
-        color, normal, depth, hist, cam, old_cam, params,
+        jnp.moveaxis(color, -1, 0), jnp.moveaxis(normal, -1, 0),
+        depth, hist, cam, old_cam, params,
         jnp.asarray(True),
     )
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+        np.moveaxis(np.asarray(out), 0, -1), np.asarray(ref),
+        rtol=1e-4, atol=1e-5,
     )
     np.testing.assert_allclose(
         np.asarray(nb), np.asarray(ref_nb), rtol=1e-5, atol=1e-6
@@ -269,8 +273,11 @@ def test_pallas_denoise_matches_xla_on_hardware():
         color, normal, depth, albedo, node, cam_t, params, radius=2
     )
     b = denoise_pallas.denoise(
-        color, normal, depth, albedo, node, cam_t, params, radius=2
+        jnp.moveaxis(color, -1, 0), jnp.moveaxis(normal, -1, 0),
+        depth, jnp.moveaxis(albedo, -1, 0), node, cam_t, params,
+        radius=2,
     )
     np.testing.assert_allclose(
-        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        np.asarray(a), np.moveaxis(np.asarray(b), 0, -1),
+        rtol=1e-4, atol=1e-5,
     )

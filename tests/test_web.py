@@ -127,7 +127,7 @@ def test_live_resize_roundtrip(viewer_server):
     assert _post(base, {"type": "size", "width": 48, "height": 32}) == 200
     viewer.render_once()  # owner thread applies the pending size
     assert (r.height, r.width) == (32, 48)
-    assert np.asarray(r.state["accum_color"]).shape == (32, 48, 3)
+    assert np.asarray(r.state["accum_color"]).shape == (3, 32, 48)
     st = json.loads(_get(base, "/state")[2])
     assert st["size"] == [48, 32]
     assert r.render_params.sun_strength == sun0

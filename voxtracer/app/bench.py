@@ -128,6 +128,8 @@ def config1_oracle_match(quick=False):
         width=size,
     )
     x = {k: np.asarray(v) for k, v in x.items()}
+    for k in ("color", "normal", "albedo"):  # planar kernel output
+        x[k] = np.moveaxis(x[k], 0, -1)
 
     agree = float((o["node"] == x["node"]).mean())
     err = (x["color"] - o["color"]).astype(np.float64)
@@ -229,7 +231,15 @@ def config4_monu9_full(quick=False):
         denoise_pallas_op if r.trace_impl.startswith("pallas") else denoise_op
     )
     den = jax.jit(partial(den_mod.denoise, radius=2))
-    t_denoise = _t(den, gC, gN, gD, gA, gM, cam_t, DenoiseParams())
+    if den_mod is denoise_pallas_op:
+        # the Pallas denoiser's I/O is planar (3, H, W)
+        t_denoise = _t(
+            den,
+            jnp.moveaxis(gC, -1, 0), jnp.moveaxis(gN, -1, 0), gD,
+            jnp.moveaxis(gA, -1, 0), gM, cam_t, DenoiseParams(),
+        )
+    else:
+        t_denoise = _t(den, gC, gN, gD, gA, gM, cam_t, DenoiseParams())
     # time the resampler the pipeline actually selected for this device
     tmp = jax.jit(
         partial(

@@ -52,15 +52,11 @@ def _history_stack(accum_color, accum_blend, old_depth):
     """(5, H, W) history stack the fused temporal kernel consumes —
     the ONE place its channel order (r, g, b, blend, depth) lives;
     both the single-device and the per-slab sharded paths build it
-    here."""
-    return jnp.stack(
-        [
-            accum_color[..., 0],
-            accum_color[..., 1],
-            accum_color[..., 2],
-            accum_blend,
-            old_depth,
-        ]
+    here.  ``accum_color`` is PLANAR (3, H, W), so this is one
+    contiguous concatenate (channels-last history cost three strided
+    channel extractions per frame)."""
+    return jnp.concatenate(
+        [accum_color, accum_blend[None], old_depth[None]]
     )
 
 
@@ -98,7 +94,9 @@ def _edge_rows(x, n, axis_name, n_dev, side):
 def init_state(height: int, width: int) -> Dict[str, jnp.ndarray]:
     """Fresh accumulation / history state (all-invalid history)."""
     return {
-        "accum_color": jnp.zeros((height, width, 3), jnp.float32),
+        # PLANAR (3, H, W): the layout every Pallas stage consumes and
+        # produces.  The XLA-twin path transposes at its boundary.
+        "accum_color": jnp.zeros((3, height, width), jnp.float32),
         "accum_blend": jnp.ones((height, width), jnp.float32),
         "old_depth": jnp.full((height, width), -1.0, jnp.float32),
         "old_cam": jnp.zeros((4, 3), jnp.float32),
@@ -219,10 +217,17 @@ def render_frame_impl(
                 # locally against the full image, exactly as the
                 # single-chip fallback does (temporal.comp:92-114
                 # accepts any in-frame offset).
-                blended, next_blend = temporal_op.temporal_blend(
-                    gbuf["color"], gbuf["normal"], gbuf["depth"],
-                    jax.lax.all_gather(
-                        acc_color, shard_axis, axis=0, tiled=True
+                # The any-offset twin is channels-last; these
+                # transposes only run on predictor-tripped frames.
+                blended_hwc, next_blend = temporal_op.temporal_blend(
+                    jnp.moveaxis(gbuf["color"], 0, -1),
+                    jnp.moveaxis(gbuf["normal"], 0, -1),
+                    gbuf["depth"],
+                    jnp.moveaxis(
+                        jax.lax.all_gather(
+                            acc_color, shard_axis, axis=1, tiled=True
+                        ),
+                        0, -1,
                     ),
                     jax.lax.all_gather(
                         acc_blend, shard_axis, axis=0, tiled=True
@@ -233,6 +238,7 @@ def render_frame_impl(
                     cam_t, old_t, t_params, hvalid,
                     reproject=True, resample_impl="xla", row0=row0f,
                 )
+                blended = jnp.moveaxis(blended_hwc, -1, 0)
             elif reproject:
                 hist = _history_stack(acc_color, acc_blend, old_depth)
                 ht = temporal_pallas.HALO_TOP
@@ -252,10 +258,10 @@ def render_frame_impl(
                     row0=row0f, interpret=interpret,
                 )
             else:
-                blended, next_blend = temporal_op.temporal_blend(
+                blended, next_blend = temporal_op.temporal_blend_still_planar(
                     gbuf["color"], gbuf["normal"], gbuf["depth"],
                     acc_color, acc_blend, old_depth, cam_t, old_t,
-                    t_params, hvalid, reproject=False, row0=row0f,
+                    t_params, hvalid, row0=row0f,
                 )
             if radius > 0:
                 stack = denoise_pallas_op.build_stack(
@@ -284,11 +290,13 @@ def render_frame_impl(
             return gbuf, blended, next_blend, out
 
         sharded = P(shard_axis)
+        # planar (3, H, W) arrays carry rows on axis 1
+        sharded_c = P(None, shard_axis)
         gbuf_specs = {
-            "color": sharded,
-            "normal": sharded,
+            "color": sharded_c,
+            "normal": sharded_c,
             "depth": sharded,
-            "albedo": sharded,
+            "albedo": sharded_c,
             "node": sharded,
             "debug_iters": sharded,
         }
@@ -297,9 +305,9 @@ def render_frame_impl(
             mesh=shard_mesh,
             in_specs=(
                 P(), P(), P(), P(), P(), P(), P(), P(),
-                sharded, sharded, sharded, P(), P(), P(), P(),
+                sharded_c, sharded, sharded, P(), P(), P(), P(),
             ),
-            out_specs=(gbuf_specs, sharded, sharded, sharded),
+            out_specs=(gbuf_specs, sharded_c, sharded, sharded_c),
             check_rep=False,
         )(
             scene_arrays["packed_idx"],
@@ -371,8 +379,10 @@ def render_frame_impl(
                 interpret=interpret,
                 params_rows=kernel_rows,
             )
-        else:
-            blended, next_blend = temporal_op.temporal_blend(
+        elif use_pallas and not reproject:
+            # camera at rest: the planar elementwise blend — the
+            # accumulation steady state, zero layout conversions
+            blended, next_blend = temporal_op.temporal_blend_still_planar(
                 gbuf["color"],
                 gbuf["normal"],
                 gbuf["depth"],
@@ -383,9 +393,41 @@ def render_frame_impl(
                 old_cam_tuple,
                 temporal_params,
                 state["history_valid"],
+            )
+        elif use_pallas:
+            # whip-pan any-offset fallback: the channels-last twin,
+            # paid only on predictor-tripped frames
+            blended_hwc, next_blend = temporal_op.temporal_blend(
+                jnp.moveaxis(gbuf["color"], 0, -1),
+                jnp.moveaxis(gbuf["normal"], 0, -1),
+                gbuf["depth"],
+                jnp.moveaxis(state["accum_color"], 0, -1),
+                state["accum_blend"],
+                state["old_depth"],
+                cam_tuple,
+                old_cam_tuple,
+                temporal_params,
+                state["history_valid"],
+                reproject=True,
+                resample_impl="xla",
+            )
+            blended = jnp.moveaxis(blended_hwc, -1, 0)
+        else:
+            blended_hwc, next_blend = temporal_op.temporal_blend(
+                gbuf["color"],
+                gbuf["normal"],
+                gbuf["depth"],
+                jnp.moveaxis(state["accum_color"], 0, -1),
+                state["accum_blend"],
+                state["old_depth"],
+                cam_tuple,
+                old_cam_tuple,
+                temporal_params,
+                state["history_valid"],
                 reproject=reproject,
                 resample_impl="xla",
             )
+            blended = jnp.moveaxis(blended_hwc, -1, 0)
 
         # The VMEM-windowed Pallas stencil reads each pixel once; the
         # XLA stencil streams ~(2r+1)^2 full-image slices through HBM.
@@ -404,7 +446,7 @@ def render_frame_impl(
             )
         else:
             out = denoise_op.denoise(
-                blended,
+                blended_hwc,
                 gbuf["normal"],
                 gbuf["depth"],
                 gbuf["albedo"],
@@ -414,7 +456,13 @@ def render_frame_impl(
                 radius=radius,
             )
 
-    image_u8 = tonemap.to_u8(out)
+    # `out` (and `blended`, `gbuf` color planes) are planar (3, H, W)
+    # everywhere on the Pallas path; the XLA-twin path stays
+    # channels-last end-to-end and transposes only at the state store.
+    if use_pallas:
+        image_u8 = tonemap.to_u8_planar(out)
+    else:
+        image_u8 = tonemap.to_u8(out)
 
     new_state = {
         "accum_color": blended,
@@ -439,12 +487,17 @@ def render_frame_impl(
         ],
     }
     if not lean:
+        # public debug outputs keep the channels-last (H, W, 3) API;
+        # the transposes only exist in non-lean (test/debug) jits
+        def _hwc(a):
+            return jnp.moveaxis(a, 0, -1) if use_pallas else a
+
         outputs.update(
             {
-                "linear": out,
-                "trace_color": gbuf["color"],
-                "normal": gbuf["normal"],
-                "albedo": gbuf["albedo"],
+                "linear": _hwc(out),
+                "trace_color": _hwc(gbuf["color"]),
+                "normal": _hwc(gbuf["normal"]),
+                "albedo": _hwc(gbuf["albedo"]),
                 "node": gbuf["node"],
             }
         )

@@ -90,9 +90,12 @@ def load(path: str | os.PathLike, renderer: Renderer) -> Camera:
             f"{meta['height']}x{meta['width']} vs "
             f"{renderer.height}x{renderer.width}"
         )
-    renderer.state = {
-        k: jnp.asarray(data[k]) for k in renderer.state
-    }
+    loaded = {k: np.asarray(data[k]) for k in renderer.state}
+    if loaded["accum_color"].shape[-1] == 3:
+        # pre-planar snapshot (accum_color was channels-last (H, W, 3);
+        # the live state is planar (3, H, W)) — migrate on load
+        loaded["accum_color"] = np.moveaxis(loaded["accum_color"], -1, 0)
+    renderer.state = {k: jnp.asarray(v) for k, v in loaded.items()}
     renderer.frame_number = int(meta["frame_number"])
     renderer.still_sample = int(meta["still_sample"])
     renderer.denoise_radius = int(meta["denoise_radius"])

@@ -64,18 +64,43 @@ def _make_kernel(radius: int, height: int, width: int):
     ww = -(-(TILE_W + 2 * radius) // 128) * 128
 
     def kernel(params_ref, stack_ref, out_r_ref, out_g_ref, out_b_ref,
-               win_ref, sem):
+               win_ref, nxt_ref, sem, sem_loc):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
+        ni = pl.num_programs(0)
+        nj = pl.num_programs(1)
 
-        copy = pltpu.make_async_copy(
-            stack_ref.at[
-                :, pl.ds(ti * TILE_H, wh), pl.ds(tj * TILE_W, ww)
-            ],
-            win_ref,
-            sem,
-        )
-        copy.start()
+        # Double-buffered window pipeline: the HBM fetch for program
+        # i+1 overlaps program i's stencil compute (the grid runs
+        # sequentially on the core, so scratch state persists across
+        # programs).  Program i waits on the fetch its predecessor
+        # started into ``nxt``, bounces it to ``cur`` with a cheap
+        # VMEM->VMEM copy (keeps ONE compute body — a parity-selected
+        # ref would force Mosaic to materialize the window), then
+        # prefetches i+1.  Measured at 4K r=2: 9.9 -> 8.8 ms.
+        idx = ti * nj + tj
+
+        def window_src(i):
+            return stack_ref.at[
+                :,
+                pl.ds((i // nj) * TILE_H, wh),
+                pl.ds(jax.lax.rem(i, nj) * TILE_W, ww),
+            ]
+
+        @pl.when(idx == 0)
+        def _():
+            pltpu.make_async_copy(window_src(idx), nxt_ref, sem).start()
+
+        pltpu.make_async_copy(window_src(idx), nxt_ref, sem).wait()
+        bounce = pltpu.make_async_copy(nxt_ref, win_ref, sem_loc)
+        bounce.start()
+        bounce.wait()
+
+        @pl.when(idx + 1 < ni * nj)
+        def _():
+            pltpu.make_async_copy(
+                window_src(idx + 1), nxt_ref, sem
+            ).start()
 
         def P(i):
             return params_ref[KROW, i]
@@ -99,7 +124,6 @@ def _make_kernel(radius: int, height: int, width: int):
         sigma_r2 = 2.0 * P(13) * P(13)
         albedo_factor = P(14)
 
-        copy.wait()
         win = win_ref[:]  # (12, wh, ww)
 
         def center(c):
@@ -168,15 +192,19 @@ def _pad_to(x, m):
 
 
 def build_stack(colors, normal, depth, albedo, material):
-    """The 12-plane channel stack the stencil consumes (valid=1)."""
-    return jnp.stack(
+    """The 12-plane channel stack the stencil consumes (valid=1).
+
+    Inputs are PLANAR — colors/normal/albedo are (3, H, W) plane
+    stacks — so this is one contiguous concatenate XLA fuses with the
+    downstream pad, instead of twelve strided channel extractions."""
+    return jnp.concatenate(
         [
-            colors[..., 0], colors[..., 1], colors[..., 2],
-            normal[..., 0], normal[..., 1], normal[..., 2],
-            jnp.log(jnp.abs(depth)),
-            (material >> 24).astype(jnp.float32),
-            albedo[..., 0], albedo[..., 1], albedo[..., 2],
-            jnp.ones_like(depth),
+            colors,
+            normal,
+            jnp.log(jnp.abs(depth))[None],
+            (material >> 24).astype(jnp.float32)[None],
+            albedo,
+            jnp.ones_like(depth)[None],
         ]
     )
 
@@ -185,10 +213,10 @@ def build_stack(colors, normal, depth, albedo, material):
     jax.jit, static_argnames=("radius", "interpret")
 )
 def denoise(
-    colors: jnp.ndarray,  # (H, W, 3)
-    normal: jnp.ndarray,  # (H, W, 3)
+    colors: jnp.ndarray,  # (3, H, W) planar
+    normal: jnp.ndarray,  # (3, H, W)
     depth: jnp.ndarray,  # (H, W)
-    albedo: jnp.ndarray,  # (H, W, 3)
+    albedo: jnp.ndarray,  # (3, H, W)
     material: jnp.ndarray,  # (H, W) int32
     cam: Tuple,  # origin, right, up, forward (pixel-scaled)
     params,  # DenoiseParams
@@ -299,6 +327,8 @@ def denoise_from_stack(
         out_specs=(tile_spec, tile_spec, tile_spec),
         scratch_shapes=[
             pltpu.VMEM((12, wh, ww), jnp.float32),
+            pltpu.VMEM((12, wh, ww), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -306,6 +336,6 @@ def denoise_from_stack(
 
     out = jnp.stack(
         [out_r[:height, :width], out_g[:height, :width], out_b[:height, :width]],
-        axis=-1,
+        axis=0,
     )
     return out

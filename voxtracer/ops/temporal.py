@@ -101,6 +101,87 @@ def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - ty) + bot * ty
 
 
+def temporal_blend_still_planar(
+    sampled_color: jnp.ndarray,  # (3, H, W) current trace output
+    normal: jnp.ndarray,  # (3, H, W) current first-hit normals
+    depth: jnp.ndarray,  # (H, W) current first-hit depth
+    old_color: jnp.ndarray,  # (3, H, W) history color
+    old_blend: jnp.ndarray,  # (H, W) history blending (alpha)
+    old_depth: jnp.ndarray,  # (H, W) history depth
+    cam: Tuple[jnp.ndarray, ...],  # origin, right, up, forward (scaled)
+    old_cam: Tuple[jnp.ndarray, ...],
+    params,  # TemporalParams
+    history_valid,  # scalar bool (False on the first frame)
+    row0=None,  # traced: global pixel row of row 0 (sharded slabs)
+):
+    """PLANAR still-frame blend: :func:`temporal_blend` with
+    ``reproject=False``, on (3, H, W) plane stacks.
+
+    The camera at rest is the accumulation steady state of the Pallas
+    production path, which keeps color planar end-to-end — this twin
+    keeps the common case free of layout transposes.  The math is the
+    same elementwise chain (``temporal.comp:99-124`` with the identity
+    reprojection), fully fused by XLA either way; only the broadcast
+    axis differs.  Returns ``(blended (3,H,W), next_blending (H,W))``.
+    """
+    height, width = depth.shape
+    origin, right, up, forward = cam
+    o_origin, o_right, o_up, o_forward = old_cam
+
+    px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+    py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    if row0 is not None:
+        py = py + row0
+
+    def ray_planes(r, u, f):
+        x = px * r[0] - py * u[0] + f[0]
+        y = px * r[1] - py * u[1] + f[1]
+        z = px * r[2] - py * u[2] + f[2]
+        n = jnp.sqrt(x * x + y * y + z * z)
+        return x / n, y / n, z / n
+
+    rx, ry, rz = ray_planes(right, up, forward)
+    wx = origin[0] + depth * rx
+    wy = origin[1] + depth * ry
+    wz = origin[2] + depth * rz
+
+    orx, ory, orz = ray_planes(o_right, o_up, o_forward)
+    owx = o_origin[0] + old_depth * orx
+    owy = o_origin[1] + old_depth * ory
+    owz = o_origin[2] + old_depth * orz
+
+    cdx = origin[0] - wx
+    cdy = origin[1] - wy
+    cdz = origin[2] - wz
+    cn = jnp.sqrt(cdx * cdx + cdy * cdy + cdz * cdz)
+    bias = jnp.maximum(
+        0.0,
+        (cdx / cn) * normal[0]
+        + (cdy / cn) * normal[1]
+        + (cdz / cn) * normal[2],
+    )
+    dx = owx - wx
+    dy = owy - wy
+    dz = owz - wz
+    dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    same_position = dist < bias * params.blending_distance_cutoff * depth
+
+    valid = same_position & (depth >= 0) & history_valid
+    use_color = jnp.where(valid[None], old_color, 0.0)
+    blending = jnp.where(valid, old_blend, 1.0)
+    blended = jnp.where(
+        (depth >= 0)[None],
+        use_color * (1.0 - blending[None]) + sampled_color * blending[None],
+        sampled_color,
+    )
+    next_blending = jnp.clip(
+        (1.0 - params.sample_blending) * blending,
+        1.0 - params.maximum_blending,
+        1.0,
+    )
+    return blended, next_blending
+
+
 def temporal_blend(
     sampled_color: jnp.ndarray,  # (H, W, 3) current trace output
     normal: jnp.ndarray,  # (H, W, 3) current first-hit normals

@@ -429,8 +429,8 @@ def pack_temporal_row_host(cam, old_cam, params, history_valid,
     static_argnames=("img_height", "hist_top", "hist_bot", "interpret"),
 )
 def temporal_blend_fused(
-    sampled_color: jnp.ndarray,  # (H, W, 3) current trace output
-    normal: jnp.ndarray,  # (H, W, 3)
+    sampled_color: jnp.ndarray,  # (3, H, W) current trace output
+    normal: jnp.ndarray,  # (3, H, W)
     depth: jnp.ndarray,  # (H, W)
     hist: jnp.ndarray,  # (5, hist_top + H + hist_bot, W) history stack
     cam,  # tuple of 4 (3,) f32: origin, right, up, forward
@@ -449,8 +449,11 @@ def temporal_blend_fused(
     #   already be in row KROW) — the production single-device path,
     #   avoiding the scoped-memory staging of tiny traced fusions.
 ):
-    """Returns ``(blended (H,W,3), next_blending (H,W))`` — the whole
+    """Returns ``(blended (3,H,W), next_blending (H,W))`` — the whole
     reproject+validate+blend stage of ``temporal.comp`` in one kernel.
+    Color/normal I/O is PLANAR: plane slices of a (3, H, W) stack are
+    contiguous and fuse into the pre-kernel pads, where channels-last
+    ``[..., c]`` slices each cost a full-plane copy on TPU.
 
     The single-device case is ``hist_top == hist_bot == 0`` with
     ``hist`` exactly the (5, H, W) history.  A sharded caller passes
@@ -484,12 +487,12 @@ def temporal_blend_fused(
     def pad2(a):
         return jnp.pad(a, ((0, hp - height), (0, wp - width)))
 
-    cr = pad2(sampled_color[..., 0])
-    cg = pad2(sampled_color[..., 1])
-    cb = pad2(sampled_color[..., 2])
-    nx = pad2(normal[..., 0])
-    ny = pad2(normal[..., 1])
-    nz = pad2(normal[..., 2])
+    cr = pad2(sampled_color[0])
+    cg = pad2(sampled_color[1])
+    cb = pad2(sampled_color[2])
+    nx = pad2(normal[0])
+    ny = pad2(normal[1])
+    nz = pad2(normal[2])
     dd = pad2(depth)
 
     # pad history: PAD_Y rows above the halo, enough below for the last
@@ -537,6 +540,6 @@ def temporal_blend_fused(
             out_g[:height, :width],
             out_b[:height, :width],
         ],
-        axis=-1,
+        axis=0,
     )
     return blended, nb[:height, :width]

@@ -22,3 +22,13 @@ def srgb_encode(linear: jnp.ndarray) -> jnp.ndarray:
 
 def to_u8(linear_rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(srgb_encode(linear_rgb) * 255.0).astype(jnp.uint8)
+
+
+def to_u8_planar(linear_rgb: jnp.ndarray) -> jnp.ndarray:
+    """(3, H, W) planar linear color -> (H, W, 3) u8 image.
+
+    The Pallas pipeline keeps color PLANAR end-to-end; the one
+    channels-last interleave the display actually needs happens here,
+    after the quantize to u8 — a 3x-smaller relayout than transposing
+    the f32 planes."""
+    return jnp.moveaxis(to_u8(linear_rgb), 0, -1)

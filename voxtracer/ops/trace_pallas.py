@@ -1863,7 +1863,9 @@ def render_sample(
     knobs: TraceKnobs = None,
 ) -> Dict[str, jnp.ndarray]:
     """Trace one sample with the Pallas kernel; same output dict as
-    :func:`voxtracer.ops.trace_xla.render_sample` (H, W shapes).
+    :func:`voxtracer.ops.trace_xla.render_sample` except PLANAR:
+    color/normal/albedo are (3, H, W) plane stacks (the XLA twin is
+    channels-last (H, W, 3) — transpose at the boundary to compare).
     ``noise_q`` is the tiny periodic quad table from
     :func:`noise_quads` — no full-image noise planes exist anywhere.
     The lane-tile height is DERIVED from the quad shape (axis 3), so
@@ -2000,10 +2002,16 @@ def render_sample(
         return img[:height, :width]
 
     return {
-        "color": jnp.stack([crop(cr), crop(cg), crop(cb)], axis=-1),
-        "normal": jnp.stack([crop(nx), crop(ny), crop(nz)], axis=-1),
+        # PLANAR (3, H, W) stacks: every downstream Pallas stage
+        # (temporal, denoise) consumes per-channel planes, and XLA
+        # materializes a planar concat as one contiguous write —
+        # channels-last (H, W, 3) stacks forced a per-channel
+        # slice-start copy (~0.4 ms each at 4K) at every kernel
+        # boundary just to get the planes back.
+        "color": jnp.stack([crop(cr), crop(cg), crop(cb)], axis=0),
+        "normal": jnp.stack([crop(nx), crop(ny), crop(nz)], axis=0),
         "depth": crop(depth),
-        "albedo": jnp.stack([crop(ar), crop(ag), crop(ab)], axis=-1),
+        "albedo": jnp.stack([crop(ar), crop(ag), crop(ab)], axis=0),
         "node": crop(node),
         # per-program counters at lane (0, 6*c + k) of the group-0
         # half-block, phase k = paired [b0, s0, b1, s1, b2, s2],

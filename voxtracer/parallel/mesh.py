@@ -41,7 +41,8 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = "rows") -> Mesh:
 
 def _state_specs(axis: str) -> Dict[str, P]:
     return {
-        "accum_color": P(axis),
+        # accum_color is planar (3, H, W): rows live on axis 1
+        "accum_color": P(None, axis),
         "accum_blend": P(axis),
         "old_depth": P(axis),
         "old_cam": P(),
