@@ -432,6 +432,9 @@ def render_frame_impl(
         # The VMEM-windowed Pallas stencil reads each pixel once; the
         # XLA stencil streams ~(2r+1)^2 full-image slices through HBM.
         if use_pallas:
+            # padded_out: the kernel's (3, hp, wp) output goes to the
+            # tonemap uncropped; the crop rides the u8 fusion instead
+            # of materializing sliced f32 planes
             out = denoise_pallas_op.denoise(
                 blended,
                 gbuf["normal"],
@@ -443,6 +446,7 @@ def render_frame_impl(
                 radius=radius,
                 interpret=interpret,
                 params_rows=kernel_rows,
+                padded_out=True,
             )
         else:
             out = denoise_op.denoise(
@@ -456,11 +460,12 @@ def render_frame_impl(
                 radius=radius,
             )
 
-    # `out` (and `blended`, `gbuf` color planes) are planar (3, H, W)
-    # everywhere on the Pallas path; the XLA-twin path stays
-    # channels-last end-to-end and transposes only at the state store.
+    # `out` (and `blended`, `gbuf` color planes) are planar on the
+    # Pallas path (`out` possibly tile-padded to (3, hp, wp)); the
+    # XLA-twin path stays channels-last end-to-end and transposes only
+    # at the state store.
     if use_pallas:
-        image_u8 = tonemap.to_u8_planar(out)
+        image_u8 = tonemap.to_u8_planar_cropped(out, height, width)
     else:
         image_u8 = tonemap.to_u8(out)
 
@@ -490,7 +495,9 @@ def render_frame_impl(
         # public debug outputs keep the channels-last (H, W, 3) API;
         # the transposes only exist in non-lean (test/debug) jits
         def _hwc(a):
-            return jnp.moveaxis(a, 0, -1) if use_pallas else a
+            if use_pallas:
+                return jnp.moveaxis(a[:, :height, :width], 0, -1)
+            return a
 
         outputs.update(
             {

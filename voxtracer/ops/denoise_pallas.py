@@ -63,7 +63,7 @@ def _make_kernel(radius: int, height: int, width: int):
     wh = -(-(TILE_H + 2 * radius) // 8) * 8
     ww = -(-(TILE_W + 2 * radius) // 128) * 128
 
-    def kernel(params_ref, stack_ref, out_r_ref, out_g_ref, out_b_ref,
+    def kernel(params_ref, stack_ref, out_ref,
                win_ref, nxt_ref, sem, sem_loc):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
@@ -180,9 +180,13 @@ def _make_kernel(radius: int, height: int, width: int):
         mod_r = 1.0 - albedo_factor + albedo_factor * center(_AR)
         mod_g = 1.0 - albedo_factor + albedo_factor * center(_AG)
         mod_b = 1.0 - albedo_factor + albedo_factor * center(_AB)
-        out_r_ref[:] = out_r * mod_r
-        out_g_ref[:] = out_g * mod_g
-        out_b_ref[:] = out_b * mod_b
+        # one (3, hp, wp) output array: the kernel writes the planar
+        # stack directly, so no post-call 3-plane restack (at 4K the
+        # crop+stack of separate plane outputs materialized ~6 ms of
+        # async slice copies per frame)
+        out_ref[0] = out_r * mod_r
+        out_ref[1] = out_g * mod_g
+        out_ref[2] = out_b * mod_b
 
     return kernel, wh, ww
 
@@ -210,7 +214,7 @@ def build_stack(colors, normal, depth, albedo, material):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "interpret")
+    jax.jit, static_argnames=("radius", "interpret", "padded_out")
 )
 def denoise(
     colors: jnp.ndarray,  # (3, H, W) planar
@@ -223,6 +227,8 @@ def denoise(
     radius: int,
     interpret: bool = False,
     params_rows=None,  # see denoise_from_stack
+    padded_out: bool = False,  # see denoise_from_stack (radius 0
+    #   output is always exact-shape; a crop of it is a no-op)
 ) -> jnp.ndarray:
     if radius == 0:
         factor = params.albedo_factor
@@ -230,13 +236,15 @@ def denoise(
     stack = build_stack(colors, normal, depth, albedo, material)
     return denoise_from_stack(
         stack, cam, params, radius=radius, interpret=interpret,
-        params_rows=params_rows,
+        params_rows=params_rows, padded_out=padded_out,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("radius", "top_halo", "bot_halo", "interpret"),
+    static_argnames=(
+        "radius", "top_halo", "bot_halo", "interpret", "padded_out"
+    ),
 )
 def denoise_from_stack(
     stack: jnp.ndarray,  # (12, top_halo + H + bot_halo, W)
@@ -250,6 +258,8 @@ def denoise_from_stack(
     params_rows=None,  # (KROWS, 128) host-packed kernel-param rows
     #   (engine/params.pack_kernel_rows); when given, cam/params are
     #   not packed on device (they must already be in row KROW)
+    padded_out: bool = False,  # return the tile-padded (3, hp, wp)
+    #   stack; callers crop lazily (fuses into the u8 tonemap)
 ) -> jnp.ndarray:
     """Stencil over a channel stack that may carry row halos.
 
@@ -308,15 +318,11 @@ def denoise_from_stack(
         ].set(vec)
 
     grid = (hp // TILE_H, wp // TILE_W)
-    plane = jax.ShapeDtypeStruct((hp, wp), jnp.float32)
-    tile_spec = pl.BlockSpec(
-        (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
-    )
 
-    out_r, out_g, out_b = pl.pallas_call(
+    out_p = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=(plane, plane, plane),
+        out_shape=jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
         in_specs=[
             pl.BlockSpec(
                 (KROWS, ROW_LEN), lambda i, j: (0, 0),
@@ -324,7 +330,10 @@ def denoise_from_stack(
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # stacked G-buffer (HBM)
         ],
-        out_specs=(tile_spec, tile_spec, tile_spec),
+        out_specs=pl.BlockSpec(
+            (3, TILE_H, TILE_W), lambda i, j: (0, i, j),
+            memory_space=pltpu.VMEM,
+        ),
         scratch_shapes=[
             pltpu.VMEM((12, wh, ww), jnp.float32),
             pltpu.VMEM((12, wh, ww), jnp.float32),
@@ -334,8 +343,8 @@ def denoise_from_stack(
         interpret=interpret,
     )(pvec, stack)
 
-    out = jnp.stack(
-        [out_r[:height, :width], out_g[:height, :width], out_b[:height, :width]],
-        axis=0,
-    )
-    return out
+    if padded_out:
+        # (3, hp, wp): the caller crops lazily (e.g. inside the u8
+        # tonemap fusion) instead of materializing a cropped copy
+        return out_p
+    return out_p[:, :height, :width]

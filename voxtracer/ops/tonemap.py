@@ -32,3 +32,16 @@ def to_u8_planar(linear_rgb: jnp.ndarray) -> jnp.ndarray:
     after the quantize to u8 — a 3x-smaller relayout than transposing
     the f32 planes."""
     return jnp.moveaxis(to_u8(linear_rgb), 0, -1)
+
+
+def to_u8_planar_cropped(
+    linear_rgb: jnp.ndarray, height: int, width: int
+) -> jnp.ndarray:
+    """(3, hp, wp) tile-padded planar color -> (height, width, 3) u8.
+
+    Cropping AFTER the quantize keeps the crop inside the u8
+    interleave fusion — slicing the f32 planes first materialized
+    ~6 ms of async copies per 4K frame."""
+    return jnp.moveaxis(
+        to_u8(linear_rgb)[:, :height, :width], 0, -1
+    )
