@@ -56,3 +56,33 @@ def test_pallas_denoise_matches_xla():
         )
     ), 0, -1)
     np.testing.assert_allclose(got0, ref0, atol=1e-6)
+
+
+def test_padded_out_matches_cropped():
+    """padded_out=True returns the tile-padded (3, hp, wp) stack whose
+    crop equals the exact-shape result (the pipeline crops inside the
+    u8 tonemap fusion instead of materializing sliced f32 planes)."""
+    h, w = 48, 160  # not multiples of the (64, 256) tile
+    rng = np.random.default_rng(2)
+    stack = jnp.asarray(rng.standard_normal((12, h, w)).astype(np.float32))
+    stack = stack.at[11].set(1.0)
+    cam_o = Camera()
+    r_, u_, f_ = cam_o.axis_scaled(w, h)
+    cam = tuple(
+        jnp.asarray(v, jnp.float32) for v in (cam_o.position, r_, u_, f_)
+    )
+    params = DenoiseParams()
+    exact = np.asarray(
+        denoise_pallas.denoise_from_stack(
+            stack, cam, params, radius=2, interpret=True
+        )
+    )
+    padded = np.asarray(
+        denoise_pallas.denoise_from_stack(
+            stack, cam, params, radius=2, interpret=True, padded_out=True
+        )
+    )
+    assert exact.shape == (3, h, w)
+    assert padded.shape[0] == 3
+    assert padded.shape[1] >= h and padded.shape[2] >= w
+    np.testing.assert_array_equal(padded[:, :h, :w], exact)

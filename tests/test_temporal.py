@@ -219,3 +219,54 @@ def test_pallas_resample_large_motion_invalidates():
     # near the edge the source clamps onto the border pixel, which IS
     # within the margin there (legitimate clamp-to-edge serve)
     assert not ok[:, : w - 160].any()
+
+
+def test_still_planar_matches_channels_last_twin():
+    """temporal_blend_still_planar (the Pallas path's zero-transpose
+    still-frame blend) computes the same math as temporal_blend with
+    reproject=False — same elementwise chain, planar broadcast axes."""
+    import jax.numpy as jnp
+
+    from voxtracer.engine.camera import Camera
+    from voxtracer.engine.params import TemporalParams
+    from voxtracer.ops import temporal as temporal_op
+
+    h, w = 48, 96
+    rng = np.random.default_rng(11)
+    color = rng.random((h, w, 3), np.float32)
+    n = rng.standard_normal((h, w, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    depth = (rng.random((h, w), np.float32) * 10 + 1).astype(np.float32)
+    depth[0, :8] = -1.0  # miss pixels pass the sample through
+    old_color = rng.random((h, w, 3), np.float32)
+    old_blend = np.full((h, w), 0.5, np.float32)
+    old_depth = depth + rng.normal(0, 1e-4, (h, w)).astype(np.float32)
+
+    cam_o = Camera(position=np.array([0.0, 1.0, -8.0]))
+    r_, u_, f_ = cam_o.axis_scaled(w, h)
+    cam = tuple(
+        jnp.asarray(v, jnp.float32) for v in (cam_o.position, r_, u_, f_)
+    )
+    params = TemporalParams()
+
+    ref, ref_nb = temporal_op.temporal_blend(
+        jnp.asarray(color), jnp.asarray(n), jnp.asarray(depth),
+        jnp.asarray(old_color), jnp.asarray(old_blend),
+        jnp.asarray(old_depth), cam, cam, params, jnp.asarray(True),
+        reproject=False,
+    )
+    got, got_nb = temporal_op.temporal_blend_still_planar(
+        jnp.moveaxis(jnp.asarray(color), -1, 0),
+        jnp.moveaxis(jnp.asarray(n), -1, 0),
+        jnp.asarray(depth),
+        jnp.moveaxis(jnp.asarray(old_color), -1, 0),
+        jnp.asarray(old_blend), jnp.asarray(old_depth),
+        cam, cam, params, jnp.asarray(True),
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(got), 0, -1), np.asarray(ref),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_nb), np.asarray(ref_nb), rtol=1e-6, atol=1e-7
+    )
