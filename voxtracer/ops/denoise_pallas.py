@@ -328,7 +328,7 @@ def denoise_from_stack(
                 (KROWS, ROW_LEN), lambda i, j: (0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stacked G-buffer (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # stacked G-buffer (HBM)
         ],
         out_specs=pl.BlockSpec(
             (3, TILE_H, TILE_W), lambda i, j: (0, i, j),
