@@ -399,3 +399,46 @@ def test_roofline_model_on_cpu():
         model["t_model_ms"],
         model["t_vpu_ms"] + model["t_sync_ms"] + model["t_dma_ms"],
     )
+
+
+def test_web_viewer_polls_watcher():
+    """Hot-reload runs DURING the live session (the reference's
+    watcher is polled from its frame loop, src/context.rs:1637-1657):
+    the web render path polls the injected watcher each frame, and a
+    watcher that throws never kills the frame."""
+    from voxtracer.app.web import WebViewer
+
+    class FakeWatcher:
+        polls = 0
+
+        def poll(self):
+            FakeWatcher.polls += 1
+
+    r = Renderer(scene=_tiny_scene(), height=16, width=16,
+                 trace_impl="xla")
+    v = WebViewer(r, watcher=FakeWatcher())
+    v.render_once()
+    assert FakeWatcher.polls == 1
+    assert v.frame_no == 1
+
+    class BadWatcher:
+        def poll(self):
+            raise RuntimeError("watch failure")
+
+    v.watcher = BadWatcher()
+    v.render_once()  # non-fatal
+    assert v.frame_no == 2
+    v.watcher = None
+    v.render_once()  # no watcher: fine too
+    assert v.frame_no == 3
+
+
+def test_viewer_fit_size():
+    """SIGWINCH refit: two pixel rows per text row, one status row,
+    even heights, sane floors for tiny terminals."""
+    from voxtracer.app.viewer import _fit_size
+
+    assert _fit_size(38, 129) == (72, 128)
+    h, w = _fit_size(24, 80)
+    assert (h, w) == (44, 79) and h % 2 == 0
+    assert _fit_size(3, 5) == (16, 16)  # floor: never a degenerate jit

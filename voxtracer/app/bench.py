@@ -71,6 +71,24 @@ def _time_frames(renderer, cameras, full_out=True, per_frame=None):
     return dt, out
 
 
+def _exact_rays(scene, cam, h, w):
+    """Exact rays/frame from the trace kernel's own segment counters
+    (debug column 10 — every primary/bounce/shadow segment actually
+    traced), measured on ONE instrumented sample outside the timed
+    region, exactly like the headline bench (bench.py:79-98).  This is
+    the honest numerator BASELINE.md's "Mrays/sec" metric wants — the
+    reference's per-pixel budget (voxels.comp:4,309,352) is only an
+    upper bound of 6 traversals/pixel.  Returns 0.0 where the counters
+    are unavailable (XLA fallback path)."""
+    try:
+        from .phasestats import phase_stats
+
+        rows = phase_stats(scene, cam, h, w)
+        return float(sum(r["rays"] for r in rows))
+    except Exception:
+        return 0.0
+
+
 def config1_oracle_match(quick=False):
     """8x8x8.vox, 256x256, 1 spp, static camera: TPU kernel vs oracle."""
     from ..engine.params import RenderParams
@@ -153,13 +171,14 @@ def config2_menger(quick=False):
         direction=np.array([-16.0, -14.0, 25.0]),
     )
     dt, _ = _time_frames(r, [cam] * (frames + 1))
-    rays = 1280 * 720 * 6  # 1 primary + up to 3 sun + 2 bounce per pixel
+    rays = _exact_rays(scene, cam, 720, 1280)
     _emit(
         config=2,
         name="menger 720p progressive",
         ms_per_frame=round(dt * 1e3, 1),
         fps=round(1 / dt, 2),
-        mrays_per_s_upper=round(rays / dt / 1e6, 1),
+        rays_per_frame=round(rays),
+        mrays_per_s=round(rays / dt / 1e6, 1),
     )
 
 
@@ -171,12 +190,15 @@ def config3_knight_temporal(quick=False):
     cams = [path(i / 30.0) for i in range(frames + 1)]
     dt, out = _time_frames(r, cams)
     blend = np.asarray(r.state["accum_blend"])
+    rays = _exact_rays(scene, cams[-1], 720, 1280)
     _emit(
         config=3,
         name="chr_knight 720p temporal reprojection (orbit)",
         ms_per_frame=round(dt * 1e3, 1),
         fps=round(1 / dt, 2),
         reprojection_accepted=round(float((blend < 1.0).mean()), 3),
+        rays_per_frame=round(rays),
+        mrays_per_s=round(rays / dt / 1e6, 1),
     )
 
 
@@ -256,11 +278,14 @@ def config4_monu9_full(quick=False):
     )
     t_tone = _t(jax.jit(tonemap_op.to_u8), gC)
 
+    rays = _exact_rays(scene, cams[-1], h, w)
     _emit(
         config=4,
         name="monu9 1080p full pipeline (trace+temporal+denoise r=2)",
         ms_per_frame=round(dt * 1e3, 1),
         fps=round(1 / dt, 2),
+        rays_per_frame=round(rays),
+        mrays_per_s=round(rays / dt / 1e6, 1),
         standalone_stage_ms_incl_dispatch={
             "temporal_reproject": round(t_temporal * 1e3, 2),
             "denoise_r2": round(t_denoise * 1e3, 2),
@@ -286,11 +311,14 @@ def config5_castle_4k(quick=False):
         )
 
     dt, _ = _time_frames(r, cams, per_frame=sun_sweep)
+    rays = _exact_rays(scene, cam, 2160, 3840)
     _emit(
         config=5,
         name="castle 4K animated sun (stretch)",
         ms_per_frame=round(dt * 1e3, 1),
         fps=round(1 / dt, 3),
+        rays_per_frame=round(rays),
+        mrays_per_s=round(rays / dt / 1e6, 1),
     )
 
 

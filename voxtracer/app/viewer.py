@@ -58,6 +58,16 @@ _UPPER_HALF = np.frombuffer("▀".encode(), np.uint8)  # 3 bytes
 _ROW_TAIL = np.frombuffer(b"\x1b[0m\n", np.uint8)
 
 
+def _fit_size(rows: int, cols: int) -> tuple[int, int]:
+    """Render size (h, w) filling a rows x cols terminal: two pixel
+    rows per text row (half blocks), one text row reserved for the
+    status line and one spare column for the cursor.  Heights stay
+    even (half-block cells pair pixel rows)."""
+    h = max(16, 2 * (rows - 2))
+    w = max(16, cols - 1)
+    return h - (h % 2), w
+
+
 def _halfblock_frame(img: np.ndarray) -> str:
     """(H, W, 3) u8 -> ANSI string, two pixel rows per text row.
 
@@ -264,6 +274,12 @@ def run_viewer(args) -> int:
     ctl.pitch = float(np.arcsin(d[1]))
     ctl.yaw = float(np.arctan2(d[0], d[2]))
     vs = ViewerState(renderer, ctl, scenes, scene_idx)
+    # kernel hot-reload runs during the live session, like the
+    # reference's shader watcher (src/context.rs:1637-1657); a failed
+    # reload keeps the old kernels (engine/reload.py)
+    from ..engine.reload import KernelWatcher
+
+    watcher = KernelWatcher()
 
     def loop(stdscr):
         curses.curs_set(0)
@@ -272,11 +288,25 @@ def run_viewer(args) -> int:
         look = vs.look_pixels
         pending = None
         while True:
+            try:
+                watcher.poll()
+            except Exception:
+                pass  # non-fatal, like cli.py's poll
             # drain input
             while True:
                 ch = stdscr.getch()
                 if ch == -1:
                     break
+                if ch == curses.KEY_RESIZE:
+                    # SIGWINCH: refit the render size to the terminal
+                    # (the reference recreates size-dependent resources
+                    # on window resize, src/context.rs:1430-1461).  The
+                    # in-flight lookahead frame is the old size — drop
+                    # it; accumulation restarts inside resize().
+                    renderer.resize(*_fit_size(*stdscr.getmaxyx()))
+                    pending = None
+                    stdscr.erase()
+                    continue
                 key = {
                     curses.KEY_UP: ("look", 0, -look),
                     curses.KEY_DOWN: ("look", 0, look),

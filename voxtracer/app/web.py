@@ -76,11 +76,17 @@ class WebViewer:
     """
 
     def __init__(self, renderer: Renderer, scenes=None, scene_idx=0,
-                 controller: FlyController | None = None):
+                 controller: FlyController | None = None,
+                 watcher=None):
         self.renderer = renderer
         self.ctl = controller or FlyController()
         self.scenes = scenes or ["default"]
         self.scene_idx = scene_idx
+        # kernel hot-reload DURING the live session — the whole point
+        # of the reference's shader watcher (src/context.rs:1637-1657
+        # runs in its frame loop); polled by the render-loop thread.
+        # None skips polling (tests construct bare viewers).
+        self.watcher = watcher
         self.lock = threading.Lock()
         self.frame_ready = threading.Condition(self.lock)
         self.latest: bytes = b""
@@ -230,9 +236,22 @@ class WebViewer:
         if size is not None:
             self.renderer.resize(*size)
 
+    def poll_watcher(self):
+        """Non-fatal kernel hot-reload poll (reference keeps the old
+        pipeline on a failed shader compile, src/context.rs:1644-1646;
+        KernelWatcher.poll already catches reload errors — this guard
+        covers watcher-internal failures like a deleted source file)."""
+        if self.watcher is None:
+            return
+        try:
+            self.watcher.poll()
+        except Exception:  # pragma: no cover - keep rendering
+            pass
+
     def render_once(self, dt: float = 1 / 30.0):
         """One frame: advance controller, render, encode, publish
         (synchronous — the single-step path tests drive)."""
+        self.poll_watcher()
         self._apply_pending_size()
         with self.lock:
             cam = self.ctl.update(dt)
@@ -283,6 +302,7 @@ class WebViewer:
             now = time.perf_counter()
             dt, last = now - last, now
             try:
+                self.poll_watcher()
                 if self._pending_size is not None:
                     # flush the in-flight lookahead frame at the OLD
                     # size first, then rebuild at the new one
@@ -520,10 +540,13 @@ def main(argv=None) -> int:
         scene=load_scene(args.scene), height=h, width=w,
         denoise_radius=args.denoise_radius, lean=True,
     )
+    from ..engine.reload import KernelWatcher
+
     viewer = WebViewer(
         renderer,
         scenes=scenes,
         scene_idx=scenes.index(args.scene) if args.scene in scenes else 0,
+        watcher=KernelWatcher(),
     )
     viewer.start()
     server = serve(viewer, args.host, args.port)
