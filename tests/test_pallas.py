@@ -256,6 +256,83 @@ def test_pallas_scramble_is_bit_exact():
 
 
 @pytest.mark.slow
+def test_pallas_dualq_is_bit_exact():
+    """Dual-queue-group software pipelining (knobs.dualq — the queue
+    split into two interleaved groups with paired serve pre-passes,
+    traverse_q2g) only changes instruction scheduling: the discrete
+    planes (node/albedo) and the accumulated color/normal must be
+    BIT-identical to the single-queue kernel.  Depth is allowed 1 ulp:
+    restructuring the phase graphs changes XLA's FMA-contraction
+    choices in the primary ray's t chain (measured: same 31/8192
+    pixels at <=2.4e-7 relative on BOTH CPU-interpret and TPU — a
+    whole-graph recompilation artifact, not a dual-scheduling value
+    change; same caveat class as the scramble knob's hardware note).
+    Width 256 gives a 4-deep queue, the smallest that activates the
+    dual path (two entries per group, so the swap/bank machinery runs
+    in both groups)."""
+    vl = VoxelList(
+        pos=np.array(
+            [[0, 0, 0], [2, 1, 0], [1, 0, 3], [-2, 1, 1]], dtype=np.int16
+        ),
+        mrgb=np.array(
+            [
+                [0, 200, 100, 50],
+                [0x40, 255, 10, 10],
+                [0, 10, 255, 10],
+                [0, 90, 90, 240],
+            ],
+            dtype=np.uint8,
+        ),
+    )
+    scene = GridScene.from_voxels(vl)
+    cam = Camera(position=np.array([0.3, 0.2, -1.5]))
+    params = RenderParams()
+    w, h = 256, 32
+    right, up, forward = cam.axis_scaled(w, h)
+    buf = noise_op.white_noise_buffer(seed=7, count=32)
+    t = scene.device_tables()
+    cam_arr = np.stack([cam.position, right, up, forward]).astype(np.float32)
+    pvec = trace_pallas.pack_params(cam_arr, params)
+    nq = trace_pallas.noise_quads(jnp.asarray(buf), jnp.int32(1))
+
+    def run(knobs):
+        out = trace_pallas.render_sample(
+            jnp.asarray(t["packed_idx"]),
+            jnp.asarray(t["meta_idx"]),
+            jnp.asarray(t["brick_idx"]),
+            jnp.asarray(t["palette"]),
+            jnp.asarray(pvec),
+            nq,
+            dims=scene.values.shape,
+            zw=t["zw"],
+            origin=tuple(int(v) for v in scene.origin),
+            n_rows=t["packed_idx"].shape[0],
+            l3_dims=t["l3_dims"],
+            m_rows=t["meta_idx"].shape[0],
+            b_rows=t["brick_idx"].shape[1],
+            height=h,
+            width=w,
+            interpret=True,
+            knobs=knobs,
+        )
+        from tests.conftest import gbuf_hwc
+
+        return gbuf_hwc(out)
+
+    base = run(trace_pallas.DEFAULT_KNOBS.replace(dualq=0))
+    dual = run(trace_pallas.DEFAULT_KNOBS.replace(dualq=1))
+    for k in ("color", "normal", "node", "albedo"):
+        np.testing.assert_array_equal(
+            dual[k], base[k], err_msg=f"dualq {k}"
+        )
+    # depth: 1 ulp from graph-level FMA contraction (see docstring)
+    np.testing.assert_allclose(
+        dual["depth"], base["depth"], rtol=3e-7, atol=0,
+        err_msg="dualq depth",
+    )
+
+
+@pytest.mark.slow
 def test_pallas_legacy_brick_tables_match_oracle(monkeypatch):
     """Scenes with more unique (mask, slot) bricks than
     BRICK_DEDUP_MAX keep per-node (2, rows, 128) brick tables with the

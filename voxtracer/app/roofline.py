@@ -2,11 +2,24 @@
 
 Converts "beats the fps gate" into "near what the chip permits"
 (VERDICT r3 next #1): assembles the already-measured pieces — per-phase
-while-step and serve-round counters (``phasestats``), the ~350-cycle
-vector→scalar handoff stall (measured round 2, ``trace_pallas.py:37``),
-serve-window sweep sizes, per-step op counts audited from the kernel
-source — into a per-config analytic execution-time model, and compares
-it against the profiler-measured device time of the trace kernel.
+while-step and serve-round counters (``phasestats``), the ~338-cycle
+vector→scalar handoff stall (measured IN CONTEXT round 5 by
+``app/stallbench.py``: 329/335/346 cycles at 1/2/4 serialized
+reduce→slice→sweep chains per trip, corroborating the round-2
+marginal ~350), serve-window sweep sizes, per-step op counts audited
+from the kernel source — into a per-config analytic execution-time
+model, and compares it against the profiler-measured device time of
+the trace kernel.
+
+Interpreting the gap: measured/t_model lands at 1.6-1.9 across
+configs.  Round 4 attributed the whole residual to the handoffs (an
+"effective" 727-900-cycle stall); the round-5 direct measurement
+rules that out — the residual is UNAUDITED VECTOR TIME (the audit
+counts semantic plane-ops at perfect 4-way ILP; real codegen adds
+register spills at 30+ carried planes, masked-lane bookkeeping,
+gather/shift lowering of ``take_along_axis``, sublane reshapes), not
+stall.  Stalls are the t_sync share of measured time: ~28-33% on
+every config (docs/BASELINE_RESULTS.md round 5).
 
 Hardware constants (TPU v5e, one TensorCore; public spec sheet):
 
@@ -18,11 +31,15 @@ Hardware constants (TPU v5e, one TensorCore; public spec sheet):
     charges tile_h/32 cycles each.  This assumes perfect 4-way ILP —
     optimistic, which is the correct direction for a bound.
   * Each vector→scalar handoff (reduce feeding a dynamic-slice base,
-    a while condition, or a scalar loop carry) stalls ~SYNC=350 cycles
-    (measured: (8,128) tiles ran 1.4x slower purely on per-iteration
-    sync, trace_pallas module docstring).  Handoffs serialize with
-    vector work in Mosaic's current scheduling; the STRICT bound takes
-    max(compute, sync) instead of their sum.
+    a while condition, or a scalar loop carry) stalls ~SYNC=338 cycles
+    (measured in context, ``app/stallbench.py`` round 5; the round-2
+    (8,128)-tile experiment gave the same ~350 marginal).  Handoffs
+    serialize with vector work in Mosaic's current scheduling
+    (stallbench --mid: inserting up to 256 independent plane-ops
+    between reduce and use hides <60 cycles); INDEPENDENT handoffs
+    issued back-to-back pipeline almost fully (h=2: 80, h=4: ~0
+    cycles each).  The STRICT bound takes max(compute, sync) instead
+    of their sum.
   * HBM 819 GB/s (pallas_hbm fine-table DMA term only).
 
 Per-step plane-op audit (hand-counted from ``trace_pallas.one_step``
@@ -55,10 +72,11 @@ scalar compare).  The live-lane integral accumulates as a plane
 Model outputs per config:
 
   t_vpu    — plane-op count / VPU issue rate (compute floor)
-  t_sync   — handoff count x 350 cycles (scalar-stall floor)
+  t_sync   — handoff count x 338 cycles (scalar-stall floor)
   t_model  — t_vpu + t_sync (serial; Mosaic today does not overlap
              the stall with vector work — the EXPECTED time if the
-             audit is right)
+             audit captured every vector op; the 1.6-1.9x gap above
+             it is codegen overhead on the VPU term)
   t_bound  — max(t_vpu, t_sync, t_dma) (the optimistic hardware
              bound: a perfect scheduler overlapping everything)
   measured — profiler device time of the trace custom-call
@@ -83,7 +101,7 @@ from .cli import load_scene
 from .phasestats import PHASES, phase_stats
 
 CLOCK_HZ = 1.50e9  # v5e: 197e12 bf16 flop/s / (4 MXU * 128*128 * 2)
-SYNC_CYCLES = 350.0  # measured vector->scalar handoff stall
+SYNC_CYCLES = 338.0  # measured in-context (stallbench r5: 329-346)
 HBM_BW = 819e9  # B/s
 
 # audited plane-op coefficients (see module docstring)

@@ -147,6 +147,18 @@ MERGE_SHADOW = _os.environ.get("VOX_MERGE_SHADOW", "0") == "1"
 # rays are coherent enough that the serve-locality loss cancels the
 # tail gain.
 SCRAMBLE = int(_os.environ.get("VOX_SCRAMBLE", 1))
+# Dual-queue-group software pipelining: split each lane's ray queue
+# into two interleaved groups marched by ONE while loop, their meta
+# serves paired so both groups' vector->scalar pre-pass reduces issue
+# before either dependent window slice (see _serve_dual).  Hides the
+# ~330-cycle handoff stall (measured directly, app/stallbench r5)
+# under the other group's vector work — the manual latency hiding the
+# GPU gets from SIMT oversubscription (voxels.comp warps) and Mosaic
+# does not do automatically (stallbench --mid: <60 cycles hidden).
+# Measured a NET LOSS on the full kernel (menger 720p 12.24 vs 11.39
+# ms — carried-state and drain-idle overheads beat the ~0.7 ms stall
+# win); default off, see traverse_q2g and the dead-end ledger.
+DUALQ = int(_os.environ.get("VOX_DUALQ", 0))
 # Lanes cover a square BLOCK x BLOCK pixel region per program (better
 # 3-D locality for the serve loop than a raw TILE_H x TILE_W image
 # strip: ~2.5x fewer serve iterations on menger).  The image<->lane
@@ -185,6 +197,11 @@ class TraceKnobs:
     q_rows: int = Q_ROWS
     merge_shadow: bool = MERGE_SHADOW
     scramble: int = SCRAMBLE
+    # Dual-queue-group software pipelining (see DUALQ above): 0 = one
+    # queue per lane (the r2-r4 shape), 1 = two interleaved groups
+    # with paired serve pre-passes.  Bit-exact either way (grouping
+    # changes scheduling, not per-ray math — pinned by test).
+    dualq: int = DUALQ
     # Diagnostics-only (default off — adds per-trip scalar work):
     # bank per-phase live-decay quantiles (trips until the live-lane
     # count drops below 3/4, 1/2, 1/4, 1/8, 1/32 of lanes) as extra
@@ -404,6 +421,65 @@ def _serve_loop(
     win = min(win, n_rows_)
     rows = waddr >> 7
     need_i = need0.astype(jnp.int32)
+    # ONE pre-pass computes the pending-row min (ladder base) AND max:
+    # ladder coverage is contiguous from the min, so "anything left?"
+    # is the SCALAR test r_max >= last_window_end — the adaptive while
+    # cond then needs no plane reduce at all, and each adaptive round
+    # pays exactly ONE vector->scalar handoff (its window-base min)
+    # instead of two (min + unserved.any()).  Roofline r4: handoff
+    # stalls were the largest modeled term (~40% of the trace frame).
+    needf0 = (need_i == 1) & (waddr != cached)
+    r_min = jnp.min(jnp.where(needf0, rows, BIG_I32))
+    r_max = jnp.max(jnp.where(needf0, rows, -1))
+    return _serve_tail(
+        ref, n_rows_, rows, waddr, need_i, word, cached,
+        r_min, r_max, win, ladder,
+    )
+
+
+def _serve_dual(ref, n_rows_, a, b, win=WIN_ROWS, ladder=LADDER):
+    """Meta serve for TWO independent march groups, pre-passes paired.
+
+    Both groups' min/max reduces issue back-to-back BEFORE either
+    scalar base is consumed by a dependent window slice, so the two
+    vector→scalar handoffs overlap in the scalar pipeline instead of
+    serializing.  Measured directly (app/stallbench, TPU v5e, r5):
+    a serial pair of reduce→slice→sweep chains stalls ~670 cycles,
+    the paired-issue shape ~160 — the dual-queue software pipelining
+    VERDICT r4 #1b asked for.  Each group is (waddr, need0, word,
+    cached); returns the two (word, cached, rounds) triples."""
+    win = min(win, n_rows_)
+    waddr_a, need_a, word_a, cached_a = a
+    waddr_b, need_b, word_b, cached_b = b
+    rows_a = waddr_a >> 7
+    rows_b = waddr_b >> 7
+    na = need_a.astype(jnp.int32)
+    nb = need_b.astype(jnp.int32)
+    needf_a = (na == 1) & (waddr_a != cached_a)
+    needf_b = (nb == 1) & (waddr_b != cached_b)
+    # all four handoff reduces issue together (the whole point)
+    r_min_a = jnp.min(jnp.where(needf_a, rows_a, BIG_I32))
+    r_max_a = jnp.max(jnp.where(needf_a, rows_a, -1))
+    r_min_b = jnp.min(jnp.where(needf_b, rows_b, BIG_I32))
+    r_max_b = jnp.max(jnp.where(needf_b, rows_b, -1))
+    out_a = _serve_tail(
+        ref, n_rows_, rows_a, waddr_a, na, word_a, cached_a,
+        r_min_a, r_max_a, win, ladder,
+    )
+    out_b = _serve_tail(
+        ref, n_rows_, rows_b, waddr_b, nb, word_b, cached_b,
+        r_min_b, r_max_b, win, ladder,
+    )
+    return out_a, out_b
+
+
+def _serve_tail(
+    ref, n_rows_, rows, waddr, need_i, word, cached, r_min, r_max,
+    win, ladder,
+):
+    """Ladder + adaptive straggler rounds of :func:`_serve_loop`,
+    taking the pre-pass reduces as arguments (so :func:`_serve_dual`
+    can issue two groups' reduces together)."""
 
     def sweep(word_, cached_, r_base):
         """One window at r_base — pure vector work, no reduces.
@@ -421,16 +497,6 @@ def _serve_loop(
         cached_ = jnp.where(in_win, waddr, cached_)
         return word_, cached_
 
-    # ONE pre-pass computes the pending-row min (ladder base) AND max:
-    # ladder coverage is contiguous from the min, so "anything left?"
-    # is the SCALAR test r_max >= last_window_end — the adaptive while
-    # cond then needs no plane reduce at all, and each adaptive round
-    # pays exactly ONE vector->scalar handoff (its window-base min)
-    # instead of two (min + unserved.any()).  Roofline r4: handoff
-    # stalls were the largest modeled term (~40% of the trace frame).
-    needf0 = (need_i == 1) & (waddr != cached)
-    r_min = jnp.min(jnp.where(needf0, rows, BIG_I32))
-    r_max = jnp.max(jnp.where(needf0, rows, -1))
     r0 = jnp.clip(r_min, 0, n_rows_ - win)
     nladder = min(ladder, -(-n_rows_ // win))
     last_base = None
@@ -700,13 +766,13 @@ def _make_traverse(
 
         inf = jnp.float32(np.inf)
 
-        def one_step(ray, nserv, nact, nlive, trav, mst, recs):
+        def step_pre(nlive, trav):
+            """Address phase of one DDA step: bounds check, node
+            coords, and the meta serve address — everything the serve
+            pre-pass reduces need.  Split out so the dual-queue path
+            can run both groups' pre phases, pair their serve reduces
+            (:func:`_serve_dual`), then run both post phases."""
             (active, cx, cy, cz, t) = trav
-            (hslot_u, hit, rfuse, hit_t, hcx, hcy, hcz) = recs
-            (ox_, oy_, oz_, dx, dy, dz, invx, invy, invz) = ray
-            sx = jnp.sign(dx).astype(jnp.int32)
-            sy = jnp.sign(dy).astype(jnp.int32)
-            sz = jnp.sign(dz).astype(jnp.int32)
             # live-lane integral: Σ_steps (active lanes) — utilization
             # diagnostics for compaction headroom (read via
             # debug_iters).  Accumulated as a PLANE and reduced once
@@ -727,13 +793,9 @@ def _make_traverse(
             active = active * inb
             act = active == 1
 
-            # 2. fetch the node's 16-bit meta (tiny march table:
+            # 2. the node's 16-bit meta address (tiny march table:
             # occupancy + brick index / uniform slot, or empty-space
             # distance)
-            if brick_dedup:
-                m_cached, m_word = mst
-            else:
-                m_cached, m_word, b_cached, b_lo, b_hi = mst
             qx = cx >> 2
             qy = cy >> 2
             qz = cz >> 2
@@ -741,10 +803,26 @@ def _make_traverse(
                 (qx & 3) << 2
             ) + (qy & 3)
             m_addr = jnp.where(act, l3_col * QZW2 + (qz >> 1), 0)
-            m_word, m_cached, kf = _serve_loop(
-                meta_ref, m_rows, m_addr, act, m_word, m_cached,
-                win=knobs.meta_win, ladder=knobs.ladder,
-            )
+            trav = (active, cx, cy, cz, t)
+            return nlive, trav, act, (qx, qy, qz, l3_col), m_addr
+
+        def step_post(
+            ray, nserv, nact, trav, bst, act, qctx, m_word, m_cached,
+            kf, recs,
+        ):
+            """Everything after the meta serve: value decode, brick
+            resolve, micro-DDA, empty-box advance."""
+            (active, cx, cy, cz, t) = trav
+            (hslot_u, hit, rfuse, hit_t, hcx, hcy, hcz) = recs
+            (ox_, oy_, oz_, dx, dy, dz, invx, invy, invz) = ray
+            qx, qy, qz, l3_col = qctx
+            if brick_dedup:
+                assert bst == ()
+            else:
+                b_cached, b_lo, b_hi = bst
+            sx = jnp.sign(dx).astype(jnp.int32)
+            sy = jnp.sign(dy).astype(jnp.int32)
+            sz = jnp.sign(dz).astype(jnp.int32)
             nserv = nserv + kf
             val = (m_word >> ((qz & 1) << 4)) & 0xFFFF
             occ3 = (val & 0x8000) != 0
@@ -887,13 +965,34 @@ def _make_traverse(
             return (
                 nserv,
                 nact,
-                nlive,
                 (active, cx, cy, cz, t),
                 mst_out,
                 (hslot_u, hit, rfuse, hit_t, hcx, hcy, hcz),
             )
 
-        return one_step
+        def one_step(ray, nserv, nact, nlive, trav, mst, recs):
+            """One DDA step = pre (addresses) → meta serve → post
+            (decode / brick / micro-DDA / box advance).  The split is
+            pure code movement: the single-queue graph is the same op
+            sequence the fused body emitted."""
+            if brick_dedup:
+                m_cached, m_word = mst
+                bst = ()
+            else:
+                m_cached, m_word = mst[0], mst[1]
+                bst = mst[2:]
+            nlive, trav, act, qctx, m_addr = step_pre(nlive, trav)
+            m_word, m_cached, kf = _serve_loop(
+                meta_ref, m_rows, m_addr, act, m_word, m_cached,
+                win=knobs.meta_win, ladder=knobs.ladder,
+            )
+            nserv, nact, trav, mst_out, recs = step_post(
+                ray, nserv, nact, trav, bst, act, qctx, m_word,
+                m_cached, kf, recs,
+            )
+            return nserv, nact, nlive, trav, mst_out, recs
+
+        return one_step, step_pre, step_post
 
     def finish(table_ref, ray, fuse_mask, cur, recs, fine_dma):
         """Post-march resolution for one ray's hit records: iteration
@@ -977,36 +1076,60 @@ def _make_traverse(
         )
         return res[0] + (counters,)
 
-    def traverse_qn(
-        table_ref, meta_ref, brick_ref, rays, fine_dma=None,
-        live_floor=0,
-    ):
-        """N rays per lane, traced SEQUENTIALLY in one while loop.
+    def setup_from_raw(rw):
+        return ray_setup(rw[0:3], rw[3:6], rw[6] == 1)
 
-        ``rays``: list of (o3, d3, mask) batches.  Each lane marches
-        ray 0 to completion, banks its hit records (packed into 3
-        planes), swaps ray 1's precomputed init state into its
-        registers, and so on — the tile's while-trip count approaches
-        max over lanes of the SUM of its ray lengths instead of the
-        sum of per-ray maxima, converting the SIMD divergence tail
-        (measured 4-10% lane utilization on unpaired bounce phases)
-        into useful work.  The meta/brick word caches survive swaps
-        (addresses are global).  Returns (results, counters):
-        results[r] = (hit, t, slot, fused, normals) for ray r.
+    # banked records travel packed:
+    # (hcx|hcy, hcz|slot|hit|fused, hit_t) — 3 loop-state planes
+    # per banked ray instead of 7
+    def pack_recs(recs):
+        hslot_u, hit, rfuse, hit_t, hcx, hcy, hcz = recs
+        p1 = hcx | (hcy << 15)
+        p2 = hcz | (hslot_u << 15) | (hit << 25) | (rfuse << 26)
+        return (p1, p2, hit_t)
 
-        Cap edge: each ray carries its OWN step budget
-        (``max_ray_steps``, default 2048 like ``voxels.comp:166``) —
-        at the cap it fuses at its current cell (opaque black leaf)
-        and the lane's queue advances, so every queued ray always
-        gets its full budget regardless of queue-mates.
+    def unpack_recs(p):
+        p1, p2, hit_t = p
+        return (
+            (p2 >> 15) & 0x3FF,  # hslot_u
+            (p2 >> 25) & 1,  # hit
+            (p2 >> 26) & 1,  # rfuse
+            hit_t,
+            p1 & 0x7FFF,  # hcx
+            (p1 >> 15) & 0x7FFF,  # hcy
+            p2 & 0x7FFF,  # hcz
+        )
 
-        Queue storage is RAW rays only — 7 planes per queued ray
-        (o3, d3, mask) instead of the 14-plane precomputed setup; the
-        swap recomputes the DDA entry state (1/d, slab t0, entry
-        cell) once per swap call for all lanes.  The while body reads
-        every queued ray's stored planes each iteration through the
-        qidx select chain, so halving the planes halves that VMEM
-        traffic — measured faster than precomputed setups at Q=20."""
+    def fuse_capped(steps, trav, recs):
+        """Per-ray step fuse (voxels.comp:166-169): a ray at the
+        cap records a fused hit at its current cell and retires,
+        so the lane's remaining queued rays still get their full
+        budget (never 'report miss because a queue-mate ran
+        long')."""
+        active, cx, cy, cz, t = trav
+        capped = (active == 1) & (steps >= max_ray_steps)
+        hslot_u, hit, rfuse, hit_t, hcx, hcy, hcz = recs
+        recs = (
+            hslot_u,
+            jnp.where(capped, 1, hit),
+            jnp.where(capped, 1, rfuse),
+            jnp.where(capped, t, hit_t),
+            jnp.where(capped, cx, hcx),
+            jnp.where(capped, cy, hcy),
+            jnp.where(capped, cz, hcz),
+        )
+        trav = (
+            active * (1 - capped.astype(jnp.int32)),
+            cx, cy, cz, t,
+        )
+        return trav, recs
+
+    def make_queue(rays):
+        """Lane-queue machinery for one march group: raw ray planes,
+        the done-lane swap (bank records, load next entry), the
+        pre-while init chain, and the pending-entry guard.  Shared by
+        the single-queue (:func:`traverse_qn`) and dual-queue-group
+        (:func:`traverse_q2g`) paths."""
         N = len(rays)
         raw = []
         for (o3, d3, mask) in rays:
@@ -1020,61 +1143,12 @@ def _make_traverse(
                  m.astype(jnp.int32))
             )
 
-        def setup_from_raw(rw):
-            return ray_setup(rw[0:3], rw[3:6], rw[6] == 1)
-
         setup0 = setup_from_raw(raw[0])
-        one_step = make_step(meta_ref, brick_ref)
         zero_i = jnp.zeros_like(setup0[1])
         zero_f = jnp.zeros_like(setup0[4])
         rec_zero = (
             zero_i, zero_i, zero_i, zero_f, zero_i, zero_i, zero_i
         )
-
-        # banked records travel packed:
-        # (hcx|hcy, hcz|slot|hit|fused, hit_t) — 3 loop-state planes
-        # per banked ray instead of 7
-        def pack_recs(recs):
-            hslot_u, hit, rfuse, hit_t, hcx, hcy, hcz = recs
-            p1 = hcx | (hcy << 15)
-            p2 = hcz | (hslot_u << 15) | (hit << 25) | (rfuse << 26)
-            return (p1, p2, hit_t)
-
-        def unpack_recs(p):
-            p1, p2, hit_t = p
-            return (
-                (p2 >> 15) & 0x3FF,  # hslot_u
-                (p2 >> 25) & 1,  # hit
-                (p2 >> 26) & 1,  # rfuse
-                hit_t,
-                p1 & 0x7FFF,  # hcx
-                (p1 >> 15) & 0x7FFF,  # hcy
-                p2 & 0x7FFF,  # hcz
-            )
-
-        def fuse_capped(steps, trav, recs):
-            """Per-ray step fuse (voxels.comp:166-169): a ray at the
-            cap records a fused hit at its current cell and retires,
-            so the lane's remaining queued rays still get their full
-            budget (never 'report miss because a queue-mate ran
-            long')."""
-            active, cx, cy, cz, t = trav
-            capped = (active == 1) & (steps >= max_ray_steps)
-            hslot_u, hit, rfuse, hit_t, hcx, hcy, hcz = recs
-            recs = (
-                hslot_u,
-                jnp.where(capped, 1, hit),
-                jnp.where(capped, 1, rfuse),
-                jnp.where(capped, t, hit_t),
-                jnp.where(capped, cx, hcx),
-                jnp.where(capped, cy, hcy),
-                jnp.where(capped, cz, hcz),
-            )
-            trav = (
-                active * (1 - capped.astype(jnp.int32)),
-                cx, cy, cz, t,
-            )
-            return trav, recs
 
         # Dead-entry jump chains: a lane's next queue position is the
         # next entry whose MASK is live, not qidx+1 — masked-off
@@ -1161,6 +1235,7 @@ def _make_traverse(
         # live entry: keep the while alive for lanes whose LOADED
         # entry is inactive but whose queue still holds live entries
         pending_guard = n_init < N - 1
+        last_live = None
         if pending_guard:
             last_live = zero_i - 1
             for r in range(N):
@@ -1170,6 +1245,63 @@ def _make_traverse(
             if brick_dedup
             else (zero_i - 1, zero_i, zero_i - 1, zero_i, zero_i)
         )
+        return dict(
+            N=N, raw=raw, swap=swap, zero_i=zero_i, zero_f=zero_f,
+            rec_zero=rec_zero, qidx0=qidx0, steps0=steps0, ray0=ray0,
+            trav0=trav0, recs0=recs0, saved0=saved0, mst0=mst0,
+            pending_guard=pending_guard, last_live=last_live,
+            n_lanes=int(np.prod(setup0[5].shape)),
+        )
+
+    def traverse_qn(
+        table_ref, meta_ref, brick_ref, rays, fine_dma=None,
+        live_floor=0,
+    ):
+        """N rays per lane, traced SEQUENTIALLY in one while loop.
+
+        ``rays``: list of (o3, d3, mask) batches.  Each lane marches
+        ray 0 to completion, banks its hit records (packed into 3
+        planes), swaps ray 1's precomputed init state into its
+        registers, and so on — the tile's while-trip count approaches
+        max over lanes of the SUM of its ray lengths instead of the
+        sum of per-ray maxima, converting the SIMD divergence tail
+        (measured 4-10% lane utilization on unpaired bounce phases)
+        into useful work.  The meta/brick word caches survive swaps
+        (addresses are global).  Returns (results, counters):
+        results[r] = (hit, t, slot, fused, normals) for ray r.
+
+        Cap edge: each ray carries its OWN step budget
+        (``max_ray_steps``, default 2048 like ``voxels.comp:166``) —
+        at the cap it fuses at its current cell (opaque black leaf)
+        and the lane's queue advances, so every queued ray always
+        gets its full budget regardless of queue-mates.
+
+        Queue storage is RAW rays only — 7 planes per queued ray
+        (o3, d3, mask) instead of the 14-plane precomputed setup; the
+        swap recomputes the DDA entry state (1/d, slab t0, entry
+        cell) once per swap call for all lanes.  The while body reads
+        every queued ray's stored planes each iteration through the
+        qidx select chain, so halving the planes halves that VMEM
+        traffic — measured faster than precomputed setups at Q=20.
+
+        With ``knobs.dualq`` and a deep enough queue the trace runs
+        as TWO interleaved groups instead (:func:`traverse_q2g`)."""
+        N = len(rays)
+        if knobs.dualq and N >= 4 and brick_dedup:
+            return traverse_q2g(
+                table_ref, meta_ref, brick_ref, rays,
+                fine_dma=fine_dma, live_floor=live_floor,
+            )
+        Q = make_queue(rays)
+        raw = Q["raw"]
+        swap = Q["swap"]
+        zero_i, zero_f = Q["zero_i"], Q["zero_f"]
+        rec_zero = Q["rec_zero"]
+        qidx0, steps0 = Q["qidx0"], Q["steps0"]
+        ray0, trav0, recs0 = Q["ray0"], Q["trav0"], Q["recs0"]
+        saved0, mst0 = Q["saved0"], Q["mst0"]
+        pending_guard, last_live = Q["pending_guard"], Q["last_live"]
+        one_step, _, _ = make_step(meta_ref, brick_ref)
         M = len(mst0)
 
         # Outer backstop: with the per-ray fuse guaranteeing
@@ -1193,7 +1325,7 @@ def _make_traverse(
         REC0 = MST0 + M
         SAV0 = REC0 + 7
         DQ0 = SAV0 + 3 * (N - 1)
-        n_lanes = int(np.prod(setup0[5].shape))
+        n_lanes = Q["n_lanes"]
         decay_thresh = tuple(
             np.int32(max(1, int(np.ceil(f * n_lanes))))
             for f in DECAY_FRACS
@@ -1299,6 +1431,222 @@ def _make_traverse(
             (n_iters, n_serves, n_act, n_fine, n_live) + out[DQ0:]
         )
         return results, counters
+
+    def traverse_q2g(
+        table_ref, meta_ref, brick_ref, rays, fine_dma=None,
+        live_floor=0,
+    ):
+        """Dual-queue-group software pipelining (knob ``dualq``).
+
+        The lane queue splits into two interleaved groups (entries
+        0,2,4,… / 1,3,5,…), each with its OWN carried march state,
+        advanced together by ONE while loop whose meta serves are
+        PAIRED (:func:`_serve_dual`): both groups' vector→scalar
+        pre-pass reduces issue before either dependent window slice,
+        so one group's ~330-cycle scalar handoff stall executes under
+        the other group's vector work.  This is the latency hiding a
+        GPU gets free from SIMT warp oversubscription
+        (voxels.comp:15 — other warps run while one waits) and that
+        Mosaic does NOT perform automatically across a reduce→slice
+        dependence (measured: <60 of ~330 cycles hidden,
+        app/stallbench --mid); pairing the issue is the software
+        version.  Measured cycles (stallbench, TPU v5e): serial pair
+        ~670, paired ~160.
+
+        Per-ray math is UNCHANGED — grouping alters instruction
+        scheduling, never values (serve results are address-
+        deterministic; the word caches are per-group) — so results
+        match :func:`traverse_qn` bit-exactly on every discrete and
+        accumulated plane; depth agrees to 1 ulp (whole-graph
+        recompilation moves FMA contraction in the primary t chain —
+        pinned by test).  Trips ≈ halve (two steps of vector work per
+        trip), per-step serve stalls ≈ quarter, the while-cond
+        liveness reduce amortizes over two steps, and each group's
+        qidx/saved select chains run over N/2 entries.  Costs: ~23
+        extra carried planes and masked idle steps when one group
+        drains first (the even/odd interleave balances expected group
+        work).
+
+        MEASURED NET LOSS — kept as a knob, default off: menger 720p
+        interleaved A/B (abench, r5) ran 12.24 ms dual vs 11.39 ms
+        single.  With the stall measured at ~330 cycles the paired-
+        reduce win is only ~0.7 ms/frame at menger's step counts,
+        and the extra carried-state spill pressure plus max-over-
+        groups drain idling exceed it (docs/BASELINE_RESULTS.md
+        round 5, dead-end ledger)."""
+        assert brick_dedup, "dualq requires the dedup brick table"
+        N = len(rays)
+        idxs = [list(range(0, N, 2)), list(range(1, N, 2))]
+        Qs = [make_queue([rays[i] for i in sub]) for sub in idxs]
+        _, step_pre, step_post = make_step(meta_ref, brick_ref)
+
+        # per-group state block: qidx | steps | ray(9) | trav(5) |
+        # mst(2) | recs(7) | saved(3*(Ng-1))
+        GQ, GST, GRAY, GTRAV, GMST, GREC, GSAV = 0, 1, 2, 11, 16, 18, 25
+
+        def gsize(q):
+            return GSAV + 3 * (q["N"] - 1)
+
+        base = [4, 4 + gsize(Qs[0])]
+        DQ0 = base[1] + gsize(Qs[1])
+
+        outer_cap = np.int32(
+            min(
+                max(q["N"] for q in Qs) * (max_ray_steps + qswap),
+                2**31 - 1,
+            )
+            if fuse_on
+            else 4096
+        )
+        # both groups live concurrently: quantile thresholds scale x2
+        decay_thresh = tuple(
+            np.int32(max(1, int(np.ceil(f * 2 * Qs[0]["n_lanes"]))))
+            for f in DECAY_FRACS
+        )
+
+        def glive(s, g):
+            live = s[base[g] + GTRAV]
+            if Qs[g]["pending_guard"]:
+                live = live + (
+                    s[base[g] + GQ] < Qs[g]["last_live"]
+                ).astype(jnp.int32)
+            return live
+
+        def cond(s):
+            live = glive(s, 0) + glive(s, 1)
+            if live_floor > 0:
+                # probe cap: total live lanes across both groups
+                return jnp.logical_and(
+                    s[0] < outer_cap,
+                    jnp.sum(s[base[0] + GTRAV] + s[base[1] + GTRAV])
+                    >= np.int32(live_floor),
+                )
+            return jnp.logical_and(
+                s[0] < outer_cap, jnp.max(live) > 0
+            )
+
+        def body(s):
+            it = s[0]
+            nserv, nact, nlive = s[1:4]
+            g = []
+            for k in range(2):
+                b = base[k]
+                g.append(dict(
+                    qidx=s[b + GQ], steps=s[b + GST],
+                    ray=s[b + GRAY : b + GTRAV],
+                    trav=s[b + GTRAV : b + GMST],
+                    mst=s[b + GMST : b + GREC],
+                    recs=s[b + GREC : b + GSAV],
+                    saved=s[b + GSAV : b + gsize(Qs[k])],
+                ))
+            for _ in range(qswap):
+                # pre phases of BOTH groups, then the paired serve
+                # (all four pre-pass reduces issue together), then
+                # both post phases — the pipelined shape
+                pres = []
+                for k in range(2):
+                    nlive, trav, act, qctx, m_addr = step_pre(
+                        nlive, g[k]["trav"]
+                    )
+                    g[k]["trav"] = trav
+                    pres.append((act, qctx, m_addr))
+                (wA, cA, kA), (wB, cB, kB) = _serve_dual(
+                    meta_ref, m_rows,
+                    (pres[0][2], pres[0][0], g[0]["mst"][1],
+                     g[0]["mst"][0]),
+                    (pres[1][2], pres[1][0], g[1]["mst"][1],
+                     g[1]["mst"][0]),
+                    win=knobs.meta_win, ladder=knobs.ladder,
+                )
+                for k, (w, c, kf) in enumerate(
+                    ((wA, cA, kA), (wB, cB, kB))
+                ):
+                    act, qctx, _ = pres[k]
+                    nserv, nact, trav, mst, recs = step_post(
+                        g[k]["ray"], nserv, nact, g[k]["trav"], (),
+                        act, qctx, w, c, kf, g[k]["recs"],
+                    )
+                    g[k].update(trav=trav, mst=mst, recs=recs)
+            for k in range(2):
+                if fuse_on:
+                    g[k]["steps"] = g[k]["steps"] + np.int32(qswap)
+                    g[k]["trav"], g[k]["recs"] = fuse_capped(
+                        g[k]["steps"], g[k]["trav"], g[k]["recs"]
+                    )
+                (g[k]["qidx"], g[k]["steps"], rayk, g[k]["trav"],
+                 g[k]["recs"], g[k]["saved"]) = Qs[k]["swap"](
+                    g[k]["qidx"], g[k]["steps"], g[k]["ray"],
+                    g[k]["trav"], g[k]["recs"], g[k]["saved"],
+                )
+                g[k]["ray"] = rayk
+            tq = s[DQ0:]
+            if decay_stats:
+                live = jnp.sum(g[0]["trav"][0] + g[1]["trav"][0])
+                tq = tuple(
+                    t + np.int32(qswap) * (live >= th).astype(
+                        jnp.int32
+                    )
+                    for t, th in zip(tq, decay_thresh)
+                )
+            flat = (it + qswap, nserv, nact, nlive)
+            for k in range(2):
+                flat = flat + (
+                    (g[k]["qidx"], g[k]["steps"])
+                    + tuple(g[k]["ray"]) + tuple(g[k]["trav"])
+                    + tuple(g[k]["mst"]) + tuple(g[k]["recs"])
+                    + tuple(g[k]["saved"])
+                )
+            return flat + tq
+
+        tq0 = (np.int32(0),) * 5 if decay_stats else ()
+        state = (
+            np.int32(0), np.int32(0), np.int32(0), Qs[0]["zero_i"],
+        )
+        for q in Qs:
+            state = state + (
+                (q["qidx0"], q["steps0"]) + q["ray0"] + q["trav0"]
+                + q["mst0"] + q["recs0"] + q["saved0"]
+            )
+        state = state + tq0
+        out = jax.lax.while_loop(cond, body, state)
+        n_iters, n_serves, n_act = out[0], out[1], out[2]
+        n_live = jnp.sum(out[3])
+
+        results_all = [None] * N
+        n_fine = np.int32(0)
+        for k in range(2):
+            b = base[k]
+            q = Qs[k]
+            qidx = out[b + GQ]
+            active = out[b + GTRAV]
+            cur = tuple(out[b + GTRAV + 1 : b + GTRAV + 5])
+            recs = out[b + GREC : b + GSAV]
+            saved = out[b + GSAV : b + gsize(q)]
+            for r in range(q["N"]):
+                cur_r = qidx == r
+                if r < q["N"] - 1:
+                    banked = unpack_recs(saved[3 * r : 3 * r + 3])
+                    recs_r = tuple(
+                        jnp.where(qidx > r, bb, jnp.where(cur_r, c, z))
+                        for bb, c, z in zip(
+                            banked, recs, q["rec_zero"]
+                        )
+                    )
+                else:
+                    recs_r = tuple(
+                        jnp.where(cur_r, c, z)
+                        for c, z in zip(recs, q["rec_zero"])
+                    )
+                hit, t, slot, fused, nrm, nf = finish(
+                    table_ref, q["raw"][r], cur_r & (active == 1),
+                    cur, recs_r, fine_dma,
+                )
+                n_fine = n_fine + nf
+                results_all[idxs[k][r]] = (hit, t, slot, fused, nrm)
+        counters = (
+            (n_iters, n_serves, n_act, n_fine, n_live) + out[DQ0:]
+        )
+        return results_all, counters
 
     return traverse, traverse_qn
 
