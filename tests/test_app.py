@@ -362,6 +362,14 @@ def test_ibench_rows_on_cpu():
     web = ibench.bench_web("3x3x3", 32, 24, seconds=0.5,
                            trace_impl="xla", warmup_frames=3)
     assert web["fps"] > 0 and web["frames"] > 0
+    # per-stage attribution (VERDICT r5 #5): the loop accounted its
+    # wall time into the four stage means + encoder-thread encode
+    st = web["stages"]
+    assert st["loop_frames"] > 0 and st["encoded_frames"] > 0
+    for k in ("watcher_ms", "ctl_ms", "dispatch_ms", "fetch_ms",
+              "encode_ms"):
+        assert st[k] >= 0
+    assert st["dropped"] >= 0
 
     tui = ibench.bench_tui("3x3x3", 32, 24, seconds=0.5,
                            trace_impl="xla")

@@ -74,6 +74,7 @@ def bench_web(scene_name: str, w: int, h: int, seconds: float,
         for _ in range(warmup_frames):
             _spin(viewer)
             _, _, seen = viewer.wait_frame(seen, timeout=300.0)
+        viewer.reset_stage_stats()
         t0 = time.perf_counter()
         first = seen
         deadline = t0 + seconds
@@ -82,12 +83,18 @@ def bench_web(scene_name: str, w: int, h: int, seconds: float,
             _, _, seen = viewer.wait_frame(seen, timeout=120.0)
         dt = time.perf_counter() - t0
         frames = seen - first
+        stages = viewer.stage_stats()
     finally:
         viewer.stop()
     fps = frames / dt
     return dict(
         mode="web", scene=scene_name, resolution=f"{w}x{h}",
         frames=frames, seconds=round(dt, 2), fps=round(fps, 1),
+        # per-frame stage means (VERDICT r5 #5): where the loop's
+        # wall time goes — dispatch (jit + donated-buffer wait),
+        # blocking previous-frame fetch, encoder-thread JPEG ms,
+        # and latest-wins drops
+        stages=stages,
         note="client-observed MJPEG fps, moving camera, JPEG encode "
              "included (latest-wins drops counted as dropped)",
     )
