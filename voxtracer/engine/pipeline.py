@@ -91,6 +91,52 @@ def _edge_rows(x, n, axis_name, n_dev, side):
     return jnp.concatenate(parts[::-1], axis=1)[:, -n:]
 
 
+def _cyclic_to_contig(x, nbl, block, n_dev, axis_name, rows_axis=0):
+    """Resort a cyclically block-row-sharded plane to contiguous slabs.
+
+    Under the cyclic trace layout chip ``c`` holds local block-rows
+    ``bi`` = global block-rows ``bi*n_dev + c`` (each ``block`` pixel
+    rows tall).  The stencil stages need contiguous slabs, so every
+    chip ships each block to the chip whose slab contains it: one
+    ``lax.all_to_all`` of ``u = ceil(nbl/n_dev)``-block chunks (padded
+    — n_dev need not divide nbl) between a send-side scatter and a
+    receive-side gather whose indices come from the chip index.  The
+    per-chip payload is the slab itself (~(n-1)/n of it crosses ICI),
+    which is why this rides the G-buffer once per frame rather than
+    any stencil operand."""
+    if rows_axis != 0:
+        x = jnp.moveaxis(x, rows_axis, 0)
+    n, u = n_dev, -(-nbl // n_dev)
+    c = jax.lax.axis_index(axis_name)
+    body = x.reshape((nbl, block) + x.shape[1:])
+
+    def ceil_div(a):
+        return (a + n - 1) // n
+
+    # sender: local block bi -> chunk c' (dest chip), slot s
+    bi = jnp.arange(nbl, dtype=jnp.int32)
+    g = bi * n + c
+    dest = g // nbl
+    slot = bi - ceil_div(dest * nbl - c)
+    buf = jnp.zeros((n * u,) + body.shape[1:], body.dtype)
+    buf = buf.at[dest * u + slot].set(body)
+    recv = jax.lax.all_to_all(
+        buf.reshape((n, u) + body.shape[1:]), axis_name, 0, 0, tiled=False
+    )
+    # receiver: slab position p <- (source chip, slot)
+    p = jnp.arange(nbl, dtype=jnp.int32)
+    gp = c * nbl + p
+    src = gp % n
+    slot2 = (gp // n) - ceil_div(c * nbl - src)
+    out = jnp.take(
+        recv.reshape((n * u,) + body.shape[1:]), src * u + slot2, axis=0
+    )
+    out = out.reshape((nbl * block,) + x.shape[1:])
+    if rows_axis != 0:
+        out = jnp.moveaxis(out, 0, rows_axis)
+    return out
+
+
 def init_state(height: int, width: int) -> Dict[str, jnp.ndarray]:
     """Fresh accumulation / history state (all-invalid history)."""
     return {
@@ -130,6 +176,14 @@ def render_frame_impl(
     #   them unless the caller actually reads them
     shard_mesh=None,  # jax.sharding.Mesh: shard the Pallas trace stage
     shard_axis: str = "rows",
+    shard_layout: str = "contiguous",  # "cyclic": the trace stage
+    #   renders every n-th 16-row block per chip (near-perfect work
+    #   balance across the image's vertical skew — app/slabprobe
+    #   measured 2.11x on castle 4K contiguous) in ONE launch via the
+    #   kernel's row_stride, then one all_to_all resorts the G-buffer
+    #   into contiguous slabs for the stencil stages (whose per-pixel
+    #   cost is uniform).  Requires height % (n_dev * block) == 0 —
+    #   the mesh wrapper pads the render height and crops.
     trace_knobs=None,  # TraceKnobs override (hashable static); None ->
     #   trace_pallas.pick_knobs(height, width).  The in-process A/B
     #   harness (app/abench.py) and per-scene tuning thread through
@@ -188,22 +242,53 @@ def render_frame_impl(
 
         n_dev = shard_mesh.devices.size
         slab = height // n_dev
+        cyc_block = trace_pallas.BLOCK_OF[knobs.tile_h]
+        if shard_layout == "cyclic" and slab % cyc_block:
+            raise ValueError(
+                f"cyclic layout needs height {height} % "
+                f"(n_dev {n_dev} * block {cyc_block}) == 0"
+            )
+        cyc_nbl = slab // cyc_block  # local block-rows per chip
 
         def _slab_frame(
             packed, meta, brick, pal, pv, nbuf, fnum, cam_arr,
             acc_color, acc_blend, old_depth, old_cam_arr, hvalid,
             t_params, d_params,
         ):
-            row0 = jax.lax.axis_index(shard_axis) * slab
+            chip = jax.lax.axis_index(shard_axis)
+            row0 = chip * slab  # contiguous slab base (stencil stages)
             row0f = row0.astype(jnp.float32)
-            pv = pv.at[0, 30].set(row0f)
+            if shard_layout == "cyclic":
+                # ray-gen offset: local block-row bi renders global
+                # block-row bi*n_dev + chip (kernel row_stride path)
+                trow0 = chip * cyc_block
+            else:
+                trow0 = row0
+            trow0f = trow0.astype(jnp.float32)
+            pv = pv.at[0, 30].set(trow0f)
             nq = trace_pallas.noise_quads(
-                nbuf, fnum, roll=row0, tile_h=knobs.tile_h,
+                nbuf, fnum, roll=trow0, tile_h=knobs.tile_h,
             )
             gbuf = trace_pallas.render_sample(
                 packed, meta, brick, pal, pv, nq,
-                height=slab, **trace_kw,
+                height=slab,
+                row_stride=n_dev if shard_layout == "cyclic" else 1,
+                **trace_kw,
             )
+            if shard_layout == "cyclic":
+                # one all_to_all resorts the balanced-trace G-buffer
+                # into the contiguous slabs every stencil stage needs
+                gbuf = {
+                    k: (
+                        v
+                        if k == "debug_iters"
+                        else _cyclic_to_contig(
+                            v, cyc_nbl, cyc_block, n_dev, shard_axis,
+                            rows_axis=v.ndim - 2,
+                        )
+                    )
+                    for k, v in gbuf.items()
+                }
             cam_t = tuple(cam_arr[i] for i in range(4))
             old_t = tuple(old_cam_arr[i] for i in range(4))
             if reproject and resample != "pallas":
@@ -643,7 +728,7 @@ render_frame = partial(
     static_argnames=(
         "scene_meta", "height", "width", "radius", "reproject",
         "trace_impl", "resample", "lean", "shard_mesh", "shard_axis",
-        "trace_knobs",
+        "shard_layout", "trace_knobs",
     ),
     donate_argnames=("state",),
 )(render_frame_impl)
@@ -679,7 +764,7 @@ render_frame_packed = partial(
     static_argnames=(
         "scene_meta", "height", "width", "radius", "reproject",
         "trace_impl", "resample", "lean", "shard_mesh", "shard_axis",
-        "trace_knobs",
+        "shard_layout", "trace_knobs",
     ),
     donate_argnames=("state",),
 )(_render_frame_packed_impl)
@@ -726,7 +811,7 @@ render_sequence_jit = partial(
     static_argnames=(
         "scene_meta", "height", "width", "radius", "reproject",
         "trace_impl", "resample", "lean", "shard_mesh", "shard_axis",
-        "trace_knobs",
+        "shard_layout", "trace_knobs",
     ),
     donate_argnames=("state",),
 )(_render_sequence_impl)
@@ -762,7 +847,7 @@ render_burst_jit = partial(
     static_argnames=(
         "scene_meta", "height", "width", "radius", "reproject",
         "trace_impl", "resample", "lean", "shard_mesh", "shard_axis",
-        "trace_knobs",
+        "shard_layout", "trace_knobs",
     ),
     donate_argnames=("state",),
 )(_render_burst_impl)

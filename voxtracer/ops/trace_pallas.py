@@ -1656,6 +1656,7 @@ def _make_kernel(
     max_bounces=MAX_BOUNCES, fine_in_hbm=False, nbx2=1, q_cols=2,
     q_rows=1, brick_dedup=True, tile_h=TILE_H, qswap=None,
     max_ray_steps=None, knobs: TraceKnobs = DEFAULT_KNOBS,
+    row_stride=1,
 ):
     traverse, traverse_qn = _make_traverse(
         dims, zw, origin, n_rows, l3_dims, m_rows, b_rows,
@@ -1801,7 +1802,10 @@ def _make_kernel(
             # scalars).  With one block-row per program the BlockSpec
             # pre-selects the program's y-parity slab (axis 1 size 1).
             bi, bj = block_rc(q)
-            row = bi % p_par if q_rows > 1 else 0
+            # under a cyclic row layout local block-row bi is global
+            # block-row bi*row_stride + chip (the chip offset rides
+            # the pre-roll), so parity strides too
+            row = (bi * row_stride) % p_par if q_rows > 1 else 0
             return noise_ref[k, row, bj % p_par, :, :]
 
         def slot_color(slot_vals):
@@ -1824,7 +1828,13 @@ def _make_kernel(
         for q in range(q_blocks):
             bi, bj = block_rc(q)
             px = (bj * block + (lane % block)).astype(jnp.float32)
-            py = (bi * block + (lane // block)).astype(jnp.float32) + P(30)
+            # row_stride > 1: cyclic block-row image decomposition —
+            # local block-row bi renders global block-row
+            # bi*row_stride + P(30)/block (the mesh's work-skew
+            # balancer; P(30) carries the chip's pixel-row offset)
+            py = (
+                bi * (block * row_stride) + (lane // block)
+            ).astype(jnp.float32) + P(30)
             rdx = px * right[0] - py * up[0] + fwd[0]
             rdy = px * right[1] - py * up[1] + fwd[1]
             rdz = px * right[2] - py * up[2] + fwd[2]
@@ -2183,7 +2193,7 @@ def _pad_to(x, m):
     static_argnames=(
         "dims", "zw", "origin", "n_rows", "l3_dims", "m_rows",
         "b_rows", "height", "width", "interpret", "max_bounces",
-        "fine_in_hbm", "max_ray_steps", "knobs",
+        "fine_in_hbm", "max_ray_steps", "knobs", "row_stride",
     ),
 )
 def render_sample(
@@ -2209,6 +2219,10 @@ def render_sample(
     fine_in_hbm: bool = False,
     max_ray_steps: int = None,
     knobs: TraceKnobs = None,
+    row_stride: int = 1,  # cyclic block-row decomposition: local
+    #   block-row bi renders global block-row bi*row_stride + the
+    #   chip offset carried by params slot 30 (in pixels) — the
+    #   row-sharded mesh's work-skew balancer (single chip: 1)
 ) -> Dict[str, jnp.ndarray]:
     """Trace one sample with the Pallas kernel; same output dict as
     :func:`voxtracer.ops.trace_xla.render_sample` except PLANAR:
@@ -2256,6 +2270,7 @@ def render_sample(
         nbx2=nbx // 2, q_cols=q, q_rows=q_rows,
         brick_dedup=brick_dedup, tile_h=tile_h,
         max_ray_steps=max_ray_steps, knobs=knobs,
+        row_stride=row_stride,
     )
 
     plane = jax.ShapeDtypeStruct((nby * tile_h, nbx * TILE_W), jnp.float32)
@@ -2315,7 +2330,7 @@ def render_sample(
                 # slab ships (the full table rides along when a
                 # program spans several block-rows)
                 (24, 1 if q_rows == 1 else P, P, tile_h, TILE_W),
-                (lambda i, j: (0, i % P, 0, 0, 0))
+                (lambda i, j: (0, (i * row_stride) % P, 0, 0, 0))
                 if q_rows == 1
                 else (lambda i, j: (0, 0, 0, 0, 0)),
                 memory_space=pltpu.VMEM,

@@ -62,6 +62,16 @@ def sharded_render_frame(
     resample: str = "pallas",  # "xla": the any-offset whip-pan
     #   fallback — all-gathers history into each slab (rare-frame cost)
     axis: str = "rows",
+    layout: str = "contiguous",  # "cyclic": balanced trace — each chip
+    #   renders every n-th 16-row block (one launch, kernel row_stride)
+    #   and one all_to_all resorts the G-buffer into contiguous slabs
+    #   for the stencils.  Answers the measured vertical work skew
+    #   (app/slabprobe: castle 4K contiguous max/mean = 2.11x, and
+    #   every per-slab-launch interleaving LOSES to launch overhead).
+    #   Pallas trace only; needs height % (n_dev * block) == 0
+    #   (block = trace_pallas.BLOCK_OF[tile_h]).
+    trace_knobs=None,  # TraceKnobs override (tests pin tile_h so the
+    #   cyclic block granularity divides tiny image heights)
 ):
     """Build a jitted frame function with row-sharded pixel arrays.
 
@@ -75,6 +85,8 @@ def sharded_render_frame(
         raise ValueError(
             f"height {height} must divide evenly over {n_dev} devices"
         )
+    if layout == "cyclic" and not trace_impl.startswith("pallas"):
+        raise ValueError("cyclic layout needs the Pallas trace path")
 
     def spec(p):
         return NamedSharding(mesh, p)
@@ -114,6 +126,8 @@ def sharded_render_frame(
             # (the xla path shards transparently through annotations).
             shard_mesh=mesh if trace_impl.startswith("pallas") else None,
             shard_axis=axis,
+            shard_layout=layout,
+            trace_knobs=trace_knobs,
         ),
         in_shardings=(
             state_shardings,  # state
