@@ -58,6 +58,45 @@ def test_pallas_denoise_matches_xla():
     np.testing.assert_allclose(got0, ref0, atol=1e-6)
 
 
+def test_pallas_denoise_rolled_radius_matches_xla():
+    """radius > 2 takes the rolled-window-row kernel path (fori_loop
+    over sublane offsets; the full unroll's compile time is
+    O((2r+1)^2) and ran past 9 minutes at r=4 on hardware).  Weight
+    math is shared with the unrolled path — the result must match the
+    XLA reference at the same tolerance the r=2 test uses."""
+    h, w = 40, 96
+    rng = np.random.default_rng(1)
+    colors = jnp.asarray(rng.random((h, w, 3), np.float32))
+    n = rng.standard_normal((h, w, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    normal = jnp.asarray(n)
+    depth = jnp.asarray(rng.random((h, w), np.float32) * 10 + 1)
+    albedo = jnp.asarray(rng.random((h, w, 3), np.float32))
+    material = jnp.asarray(
+        (rng.integers(0, 3, (h, w)) << 24).astype(np.int32)
+    )
+    cam_o = Camera()
+    r_, u_, f_ = cam_o.axis_scaled(w, h)
+    cam = tuple(
+        jnp.asarray(v, jnp.float32) for v in (cam_o.position, r_, u_, f_)
+    )
+    params = DenoiseParams()
+
+    ref = np.asarray(
+        jax.jit(partial(denoise_xla.denoise, radius=3))(
+            colors, normal, depth, albedo, material, cam, params
+        )
+    )
+    got = np.moveaxis(np.asarray(
+        denoise_pallas.denoise(
+            jnp.moveaxis(colors, -1, 0), jnp.moveaxis(normal, -1, 0),
+            depth, jnp.moveaxis(albedo, -1, 0), material, cam, params,
+            radius=3, interpret=True,
+        )
+    ), 0, -1)
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
 def test_padded_out_matches_cropped():
     """padded_out=True returns the tile-padded (3, hp, wp) stack whose
     crop equals the exact-shape result (the pipeline crops inside the

@@ -138,40 +138,88 @@ def _make_kernel(radius: int, height: int, width: int):
             0.0, c_nx * -rdx + c_ny * -rdy + c_nz * -rdz
         )
 
-        norm_sum = fx * 0.0
-        sum_r = fx * 0.0
-        sum_g = fx * 0.0
-        sum_b = fx * 0.0
-        for dy in range(-radius, radius + 1):
-            for dx in range(-radius, radius + 1):
-                y0 = radius + dy
-                x0 = radius + dx
+        def tap_math(tap, dist2f, carry):
+            """One tap's weight math against the center pixel —
+            shared verbatim by the unrolled (r<=2) and rolled (r>2)
+            paths; ``tap(c)`` yields the (TILE_H, TILE_W) window at
+            this offset for channel c."""
+            norm_sum, sum_r, sum_g, sum_b = carry
+            w_cr, w_cg, w_cb = tap(_CR), tap(_CG), tap(_CB)
+            cdr = c_cr - w_cr
+            cdg = c_cg - w_cg
+            cdb = c_cb - w_cb
+            ndx = c_nx - tap(_NX)
+            ndy = c_ny - tap(_NY)
+            ndz = c_nz - tap(_NZ)
+            dd = c_logd - tap(_LOGD)
+            md = (c_mat != tap(_MAT)).astype(jnp.float32)
 
-                def tap(c):
-                    return win[c, y0 : y0 + TILE_H, x0 : x0 + TILE_W]
+            factor_range = (
+                cdr * cdr + cdg * cdg + cdb * cdb
+                + 1e4 * (ndx * ndx + ndy * ndy + ndz * ndz)
+                + 1e4 * (depth_bias * dd) * (depth_bias * dd)
+                + 1e4 * md
+            ) / sigma_r2
+            factor_dist = dist2f / sigma_d2
+            f = jnp.exp(-factor_range - factor_dist) * tap(_VALID)
+            return (
+                norm_sum + f,
+                sum_r + f * w_cr,
+                sum_g + f * w_cg,
+                sum_b + f * w_cb,
+            )
 
-                w_cr, w_cg, w_cb = tap(_CR), tap(_CG), tap(_CB)
-                cdr = c_cr - w_cr
-                cdg = c_cg - w_cg
-                cdb = c_cb - w_cb
-                ndx = c_nx - tap(_NX)
-                ndy = c_ny - tap(_NY)
-                ndz = c_nz - tap(_NZ)
-                dd = c_logd - tap(_LOGD)
-                md = (c_mat != tap(_MAT)).astype(jnp.float32)
+        zero = fx * 0.0
+        carry = (zero, zero, zero, zero)
+        if radius <= 2:
+            # fully unrolled on the materialized window: the
+            # production r<=2 shape (25 taps), Mosaic schedules
+            # across taps
+            for dy in range(-radius, radius + 1):
+                for dx in range(-radius, radius + 1):
+                    y0 = radius + dy
+                    x0 = radius + dx
+                    carry = tap_math(
+                        lambda c, y0=y0, x0=x0: win[
+                            c, y0 : y0 + TILE_H, x0 : x0 + TILE_W
+                        ],
+                        float(dx * dx + dy * dy),
+                        carry,
+                    )
+        else:
+            # rolled window rows, dx still unrolled: compile time
+            # stays O(2r+1) tap bodies instead of O((2r+1)^2) — the
+            # full unroll at r=4 already ran past 9 minutes of TPU
+            # compile and r=8 was unbuildable (VERDICT r4 #8: the
+            # GUI offers r<=8).  Mosaic requires DYNAMIC sublane
+            # offsets to be provably 8-aligned, so the row is picked
+            # by a dynamic circular shift (tpu.dynamic_rotate via
+            # pltpu.roll) and a static [0:TILE_H] slice; rows past
+            # TILE_H wrap circularly but are never read.
+            K = 2 * radius + 1
+            chans = (
+                _CR, _CG, _CB, _NX, _NY, _NZ, _LOGD, _MAT, _VALID
+            )
 
-                factor_range = (
-                    cdr * cdr + cdg * cdg + cdb * cdb
-                    + 1e4 * (ndx * ndx + ndy * ndy + ndz * ndz)
-                    + 1e4 * (depth_bias * dd) * (depth_bias * dd)
-                    + 1e4 * md
-                ) / sigma_r2
-                factor_dist = (dx * dx + dy * dy) / sigma_d2
-                f = jnp.exp(-factor_range - factor_dist) * tap(_VALID)
-                norm_sum += f
-                sum_r += f * w_cr
-                sum_g += f * w_cg
-                sum_b += f * w_cb
+            def dy_body(t, carry):
+                dyf = (t - radius).astype(jnp.float32)
+                dy2f = dyf * dyf
+                rolled = {
+                    c: pltpu.roll(win[c], -t, 0) for c in chans
+                }
+                for dx in range(-radius, radius + 1):
+                    x0 = radius + dx
+                    carry = tap_math(
+                        lambda c, x0=x0: rolled[c][
+                            :TILE_H, x0 : x0 + TILE_W
+                        ],
+                        dx * dx + dy2f,
+                        carry,
+                    )
+                return carry
+
+            carry = jax.lax.fori_loop(0, K, dy_body, carry)
+        norm_sum, sum_r, sum_g, sum_b = carry
 
         out_r = sum_r / norm_sum
         out_g = sum_g / norm_sum
@@ -340,6 +388,13 @@ def denoise_from_stack(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            # r=2 fits the default 16M scoped budget; the GUI's full
+            # radius range (r<=8, 17x17 taps) needs the tap
+            # temporaries' live ranges — same 100M ceiling as the
+            # trace kernel
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(pvec, stack)
 
